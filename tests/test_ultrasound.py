@@ -1,0 +1,186 @@
+"""Ultrasound acquisition + beamforming tests: echo timing against the
+wave-physics closed form, plane-wave delay law, DAS point-scatterer
+localization, and the golden channel-buffer stats the reference printed
+(USMain.py:114-115)."""
+
+import numpy as np
+import pytest
+
+import tpu_rt
+from tpu_rt.integrator.ultrasound import simulate_acquisition
+from tpu_rt.us.beamform import bmode_pipeline, das_beamform, grid_scan, hilbert_envelope, log_compress
+
+
+def _scene(shape_entries, n_elements=32, time_samples=3000, angles=(0.0,),
+           max_depth=2, frequency=5e6, sound_speed=1540.0, attenuation=0.0,
+           pitch=0.0003):
+    d = {
+        "type": "scene",
+        "integrator": {
+            "type": "ultrasound_integrator",
+            "max_depth": max_depth,
+            "sampling_rate": 50e6,
+            "frequency": frequency,
+            "sound_speed": sound_speed,
+            "attenuation": attenuation,
+            "main_beam_angle": 24,
+            "cutoff_angle": 30,
+            "n_elements": n_elements,
+            "pitch": pitch,
+            "time_samples": time_samples,
+            "angles": np.asarray(angles, np.float32),
+        },
+        "sensor": {
+            "type": "ultrasound_sensor",
+            "num_elements_lateral": n_elements,
+            "elements_width": 0.003,
+            "elements_height": 0.01,
+            "pitch": pitch,
+            "radius": float("inf"),
+            "center_frequency": frequency,
+            "sound_speed": sound_speed,
+            "directivity": 1.0,
+            "to_world": tpu_rt.ScalarTransform4f(),
+        },
+    }
+    d.update(shape_entries)
+    return tpu_rt.load_dict(d)
+
+
+def test_plane_wave_delay_law():
+    """tx delay = x_elem * sin(angle) / c (CustomIntegrator.py:87)."""
+    scene = _scene({}, n_elements=8, angles=(-15.0, 0.0, 15.0))
+    _, tx = simulate_acquisition(scene, seed=0)
+    tx = np.asarray(tx)
+    assert tx.shape == (3, 8)
+    x = 0.0003 * (np.arange(8) - 3.5)
+    c = 1540.0
+    for ai, ang in enumerate([-15.0, 0.0, 15.0]):
+        np.testing.assert_allclose(
+            tx[ai], x * np.sin(np.deg2rad(ang)) / c, rtol=1e-5, atol=1e-12
+        )
+    np.testing.assert_allclose(tx[1], 0.0, atol=1e-12)
+
+
+def test_echo_arrival_time_flat_plate():
+    """A flat plate at depth z0, normal-incidence plane wave: first echo at
+    t = 2 z0 / c (within the receive-element geometry spread)."""
+    z0 = 0.02
+    scene = _scene(
+        {
+            "plate": {
+                "type": "rectangle",
+                "to_world": tpu_rt.ScalarTransform4f().translate([0, 0, z0])
+                @ tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+                @ tpu_rt.ScalarTransform4f().scale([0.05, 0.05, 1]),
+                "bsdf": {"type": "ultrasound_bsdf", "impedance": 7.8, "roughness": 0.3},
+            }
+        },
+        max_depth=1,
+    )
+    ch, _ = simulate_acquisition(scene, seed=0)
+    ch = np.asarray(ch)
+    assert np.abs(ch).sum() > 0, "no echoes recorded"
+    fs, c = 50e6, 1540.0
+    t_idx = np.nonzero(np.abs(ch).sum(axis=(0, 1)))[0]
+    t_expected = 2 * z0 / c * fs  # ~1298
+    # element aperture adds sqrt(z0^2 + x^2) spread
+    half_ap = 0.0003 * 16
+    t_max = (z0 + np.sqrt(z0**2 + (2 * half_ap) ** 2)) / c * fs
+    assert t_idx.min() >= t_expected - 2
+    assert t_idx.max() <= t_max + 2
+
+
+def test_attenuation_law():
+    """Echo amplitude scales by exp(-alpha f_MHz d / 8.686)
+    (CustomIntegrator.py:162,328)."""
+    z0 = 0.02
+    shapes = {
+        "plate": {
+            "type": "rectangle",
+            "to_world": tpu_rt.ScalarTransform4f().translate([0, 0, z0])
+            @ tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+            @ tpu_rt.ScalarTransform4f().scale([0.05, 0.05, 1]),
+            "bsdf": {"type": "ultrasound_bsdf", "impedance": 7.8, "roughness": 0.001},
+        }
+    }
+    s0 = _scene(shapes, max_depth=1, attenuation=0.0)
+    s1 = _scene(shapes, max_depth=1, attenuation=0.5)
+    ch0, _ = simulate_acquisition(s0, seed=3)
+    ch1, _ = simulate_acquisition(s1, seed=3)
+    e0 = np.abs(np.asarray(ch0)).sum()
+    e1 = np.abs(np.asarray(ch1)).sum()
+    # one-way distance ~= z0 (outbound only is attenuated at the first
+    # bounce deposit)
+    expected = np.exp(-0.5 * 5.0 * z0 / 8.686)
+    assert e0 > 0
+    np.testing.assert_allclose(e1 / e0, expected, rtol=0.05)
+
+
+def test_das_point_scatterer_localization():
+    """Beamformed peak lands on the scatterer position."""
+    z0, x0 = 0.025, 0.004
+    scene = _scene(
+        {
+            "pt": {
+                "type": "sphere",
+                "center": np.asarray([x0, 0.0, z0]),
+                "radius": 0.0008,
+                "bsdf": {"type": "ultrasound_bsdf", "impedance": 7.8, "roughness": 0.9},
+            }
+        },
+        n_elements=64,
+        angles=(-10.0, -5.0, 0.0, 5.0, 10.0),
+        max_depth=1,
+        pitch=0.0005,
+    )
+    ch, _ = simulate_acquisition(scene, seed=1, rays_per_pair=16)
+    ch = np.asarray(ch)
+    assert np.abs(ch).sum() > 0
+    us = scene.ultrasound
+    elem_x = 0.0005 * (np.arange(64) - 31.5)
+    x_grid, z_grid = grid_scan(-0.01, 0.01, 0.01, 0.04, 2e-4, 1e-4)
+    img = np.asarray(
+        bmode_pipeline(ch, us.angles, elem_x, us.sampling_rate, us.sound_speed,
+                       x_grid, z_grid)
+    )  # [Nz, Nx]
+    zi, xi = np.unravel_index(np.argmax(img), img.shape)
+    x_peak = np.asarray(x_grid)[xi]
+    z_peak = np.asarray(z_grid)[zi]
+    # Axial resolution is sharp; lateral has sidelobes from the sparse
+    # random-receiver MC sampling, so the lateral tolerance is looser.
+    assert abs(z_peak - z0) < 0.0015, f"axial peak {z_peak} != {z0}"
+    assert abs(x_peak - x0) < 0.006, f"lateral peak {x_peak} != {x0}"
+
+
+def test_log_compression_matches_reference_semantics():
+    """60 dB log compression (USMain.py:213-219)."""
+    env = np.asarray([1e-6, 10 ** (-1.5), 1.0])  # 0 dB, -30 dB, -120 dB
+    img = np.asarray(log_compress(env, 60.0))
+    # max -> 1.0; -30 dB -> 0.5; below -60 dB clips to 0.0
+    np.testing.assert_allclose(img[2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(img[1], 0.5, atol=1e-3)
+    np.testing.assert_allclose(img[0], 0.0, atol=1e-3)
+
+
+def test_hilbert_envelope_of_tone():
+    t = np.arange(1024) / 1024
+    x = np.sin(2 * np.pi * 64 * t) * np.exp(-((t - 0.5) ** 2) / 0.01)
+    env = np.asarray(hilbert_envelope(x[None, :], axis=1))[0]
+    expected = np.exp(-((t - 0.5) ** 2) / 0.01)
+    mask = expected > 0.2
+    np.testing.assert_allclose(env[mask], expected[mask], rtol=0.06)
+
+
+def test_sphere_box_scene_acquisition(ref_us_scenes):
+    """Sphere_Box.xml runs end to end and produces echoes (BASELINE.json
+    config 1)."""
+    import os
+
+    scene = tpu_rt.load_file(os.path.join(ref_us_scenes, "Sphere_Box.xml"))
+    # shrink for CPU test speed
+    ch, tx = simulate_acquisition(scene, seed=0)
+    ch = np.asarray(ch)
+    assert ch.shape == (5, 64, 10000)
+    assert np.isfinite(ch).all()
+    assert np.abs(ch).sum() > 0

@@ -1,0 +1,329 @@
+"""Device-side scene intersection: brute-force and BVH traversal paths.
+
+This is the TPU-native replacement for ``scene.ray_intersect``
+(/root/reference/CustomIntegrator.py:146,159 -> Embree/OptiX; SURVEY.md §2b):
+rays are SoA megabatches, traversal is a ``lax.while_loop`` with a fixed
+short stack per ray (vmapped), and all geometry lives in flat HBM tables.
+
+Two paths, chosen statically at trace time:
+  * brute force over all prims (fori_loop, running best) — optimal for the
+    small analytic scenes (cbox has ~36 tris + 2 spheres);
+  * BVH traversal — for mesh scenes (bunny 69k tris etc.).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+import flax.struct
+
+from tpu_rt.core.math import (
+    normalize,
+    transform_point,
+    transform_vector,
+    vec3,
+)
+from tpu_rt.geometry import intersect as isect
+from tpu_rt.scene.types import CONE, CYLINDER, DISK, RECTANGLE, SPHERE, Geometry
+
+# Finite miss sentinel (see tpu_rt.geometry.intersect.INF): keeps jax.grad
+# free of inf * 0 = NaN cotangents through the bounce loop.
+INF = jnp.float32(1e8)
+BRUTE_FORCE_MAX_PRIMS = 192
+STACK_DEPTH = 48
+RAY_EPS = 1e-4
+
+
+@flax.struct.dataclass
+class Hit:
+    t: jnp.ndarray  # [N]
+    prim: jnp.ndarray  # [N] global prim id (-1 on miss)
+    u: jnp.ndarray  # [N]
+    v: jnp.ndarray  # [N]
+
+    @property
+    def valid(self):
+        return self.prim >= 0
+
+
+@flax.struct.dataclass
+class Interaction:
+    """SoA SurfaceInteraction (TPU equivalent of mi.SurfaceInteraction3f)."""
+
+    valid: jnp.ndarray  # [N] bool
+    t: jnp.ndarray  # [N]
+    p: jnp.ndarray  # [N, 3]
+    n: jnp.ndarray  # [N, 3] shading normal
+    ng: jnp.ndarray  # [N, 3] geometric normal
+    uv: jnp.ndarray  # [N, 2]
+    wi: jnp.ndarray  # [N, 3] world-space direction toward the ray origin
+    shape: jnp.ndarray  # [N] shape id (-1 on miss)
+    prim: jnp.ndarray  # [N]
+
+    def spawn_origin(self, direction):
+        """Offset hit point along the geometric normal toward ``direction``
+        (equivalent of si.spawn_ray origin handling)."""
+        sign = jnp.sign(jnp.sum(self.ng * direction, axis=-1, keepdims=True))
+        scale = jnp.maximum(1.0, jnp.abs(self.p).max(axis=-1, keepdims=True))
+        return self.p + self.ng * sign * RAY_EPS * scale
+
+
+# ---------------------------------------------------------------------------
+# Per-prim intersection helpers
+# ---------------------------------------------------------------------------
+
+def _intersect_analytic(geom: Geometry, aid, o, d, tmin, tmax):
+    """Intersect rays with analytic prim index ``aid`` (scalar or [N])."""
+    m = geom.an_to_object[aid]
+    oo = transform_point(m, o)
+    od = transform_vector(m, d)  # NOT normalized: preserves the t parameter
+    atype = geom.an_type[aid]
+
+    t_s, u_s, v_s = isect.ray_sphere(oo, od, tmin, tmax)
+    t_r, u_r, v_r = isect.ray_rectangle(oo, od, tmin, tmax)
+    t_d, u_d, v_d = isect.ray_disk(oo, od, tmin, tmax)
+    t_c, u_c, v_c = isect.ray_cylinder(oo, od, tmin, tmax)
+    t_k, u_k, v_k = isect.ray_cone(oo, od, tmin, tmax)
+
+    def sel(s, r, dk, c, k):
+        out = jnp.where(atype == SPHERE, s, INF if s is None else s)
+        out = jnp.where(atype == RECTANGLE, r, out)
+        out = jnp.where(atype == DISK, dk, out)
+        out = jnp.where(atype == CYLINDER, c, out)
+        out = jnp.where(atype == CONE, k, out)
+        return out
+
+    t = sel(t_s, t_r, t_d, t_c, t_k)
+    u = sel(u_s, u_r, u_d, u_c, u_k)
+    v = sel(v_s, v_r, v_d, v_c, v_k)
+    return t, u, v
+
+
+def _intersect_prim(geom: Geometry, pid, o, d, tmin, tmax):
+    """Intersect rays with global prim id ``pid`` (broadcastable)."""
+    T = geom.n_tris
+    if T == 0:
+        return _intersect_analytic(geom, pid - T, o, d, tmin, tmax)
+    if geom.n_analytic == 0:
+        tid = jnp.clip(pid, 0, T - 1)
+        return isect.ray_triangle(
+            o, d, geom.tri_p0[tid], geom.tri_e1[tid], geom.tri_e2[tid], tmin, tmax
+        )
+    is_tri = pid < T
+    tid = jnp.clip(pid, 0, T - 1)
+    aid = jnp.clip(pid - T, 0, geom.n_analytic - 1)
+    t_t, u_t, v_t = isect.ray_triangle(
+        o, d, geom.tri_p0[tid], geom.tri_e1[tid], geom.tri_e2[tid], tmin, tmax
+    )
+    t_a, u_a, v_a = _intersect_analytic(geom, aid, o, d, tmin, tmax)
+    t = jnp.where(is_tri, t_t, t_a)
+    u = jnp.where(is_tri, u_t, u_a)
+    v = jnp.where(is_tri, v_t, v_a)
+    return t, u, v
+
+
+# ---------------------------------------------------------------------------
+# Brute force
+# ---------------------------------------------------------------------------
+
+def _trace_bruteforce(geom: Geometry, o, d, tmin, tmax) -> Hit:
+    P = geom.n_tris + geom.n_analytic
+    # Keep the search range strictly below the finite miss sentinel so a
+    # caller-provided tmax of +inf can't turn sentinel values into "hits".
+    tmax = jnp.minimum(tmax, 0.99 * INF)
+
+    def body(pid, carry):
+        best_t, best_prim, best_u, best_v = carry
+        t, u, v = _intersect_prim(geom, pid, o, d, tmin, best_t)
+        closer = t < best_t
+        return (
+            jnp.where(closer, t, best_t),
+            jnp.where(closer, pid, best_prim),
+            jnp.where(closer, u, best_u),
+            jnp.where(closer, v, best_v),
+        )
+
+    n = o.shape[:-1]
+    init = (
+        jnp.broadcast_to(tmax, n).astype(jnp.float32),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+    )
+    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(0, P, body, init)
+    return Hit(t=best_t, prim=best_prim, u=best_u, v=best_v)
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal (vmapped while_loop with short stack)
+# ---------------------------------------------------------------------------
+
+def _trace_bvh_one(geom: Geometry, o, d, tmin, tmax):
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+
+    def leaf_intersect(first, count, best):
+        best_t, best_prim, best_u, best_v = best
+        for i in range(4):  # LEAF_SIZE static unroll
+            pid = geom.prim_order[jnp.clip(first + i, 0, geom.prim_order.shape[0] - 1)]
+            t, u, v = _intersect_prim(geom, pid, o, d, tmin, best_t)
+            ok = (i < count) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            best_prim = jnp.where(ok, pid, best_prim)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+        return best_t, best_prim, best_u, best_v
+
+    def cond(state):
+        sp = state[1]
+        return sp > 0
+
+    def body(state):
+        stack, sp, best = state
+        node = stack[sp - 1]
+        sp = sp - 1
+        best_t = best[0]
+        hit, _ = isect.ray_aabb(o, inv_d, geom.bvh_min[node], geom.bvh_max[node], tmin, best_t)
+        count = geom.bvh_count[node]
+        a = geom.bvh_a[node]
+        b = geom.bvh_b[node]
+
+        is_leaf = count > 0
+        new_best = jax.lax.cond(
+            hit & is_leaf, lambda bb: leaf_intersect(a, count, bb), lambda bb: bb, best
+        )
+        # Push children for internal nodes.
+        push = hit & ~is_leaf
+        stack = stack.at[sp].set(jnp.where(push, a, stack[sp]))
+        stack = stack.at[sp + 1].set(jnp.where(push, b, stack[sp + 1]))
+        sp = jnp.where(push, sp + 2, sp)
+        return stack, sp, new_best
+
+    stack0 = jnp.zeros((STACK_DEPTH,), jnp.int32)
+    best0 = (
+        jnp.asarray(tmax, jnp.float32),
+        jnp.int32(-1),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+    )
+    _, _, best = jax.lax.while_loop(cond, body, (stack0, jnp.int32(1), best0))
+    return best
+
+
+def _trace_bvh(geom: Geometry, o, d, tmin, tmax) -> Hit:
+    tmax = jnp.minimum(tmax, 0.99 * INF)  # see _trace_bruteforce
+    tmin_b = jnp.broadcast_to(tmin, o.shape[:-1]).astype(jnp.float32)
+    tmax_b = jnp.broadcast_to(tmax, o.shape[:-1]).astype(jnp.float32)
+    t, prim, u, v = jax.vmap(lambda oo, dd, t0, t1: _trace_bvh_one(geom, oo, dd, t0, t1))(
+        o.reshape(-1, 3), d.reshape(-1, 3), tmin_b.reshape(-1), tmax_b.reshape(-1)
+    )
+    shp = o.shape[:-1]
+    return Hit(t=t.reshape(shp), prim=prim.reshape(shp), u=u.reshape(shp), v=v.reshape(shp))
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def ray_intersect_hit(geom: Geometry, o, d, tmin=RAY_EPS, tmax=INF) -> Hit:
+    P = geom.n_tris + geom.n_analytic
+    if P <= BRUTE_FORCE_MAX_PRIMS:
+        return _trace_bruteforce(geom, o, d, tmin, tmax)
+    return _trace_bvh(geom, o, d, tmin, tmax)
+
+
+def ray_test(geom: Geometry, o, d, tmin=RAY_EPS, tmax=INF):
+    """Shadow/visibility query: True where something is hit in (tmin, tmax)."""
+    return ray_intersect_hit(geom, o, d, tmin, tmax).valid
+
+
+def compute_interaction(scene, o, d, hit: Hit) -> Interaction:
+    """Reconstruct the surface interaction from a Hit (two-phase design)."""
+    geom: Geometry = scene.geometry
+    T = geom.n_tris
+    valid = hit.valid
+    pid = jnp.maximum(hit.prim, 0)
+    t = jnp.where(valid, hit.t, INF)
+    p = o + jnp.where(valid, hit.t, 0.0)[..., None] * d
+
+    if T > 0:
+        tid = jnp.clip(pid, 0, T - 1)
+        e1 = geom.tri_e1[tid]
+        e2 = geom.tri_e2[tid]
+        ng_t = normalize(jnp.cross(e1, e2))
+        w = (1.0 - hit.u - hit.v)[..., None]
+        ns_t = (
+            w * geom.tri_n0[tid]
+            + hit.u[..., None] * geom.tri_n1[tid]
+            + hit.v[..., None] * geom.tri_n2[tid]
+        )
+        ns_len = jnp.sqrt(jnp.maximum(jnp.sum(ns_t * ns_t, -1, keepdims=True), 1e-24))
+        ns_t = jnp.where(ns_len > 1e-6, ns_t / ns_len, ng_t)
+        uv_t = (
+            w * geom.tri_uv0[tid]
+            + hit.u[..., None] * geom.tri_uv1[tid]
+            + hit.v[..., None] * geom.tri_uv2[tid]
+        )
+        shape_t = geom.tri_shape[tid]
+    if geom.n_analytic > 0:
+        aid = jnp.clip(pid - T, 0, geom.n_analytic - 1)
+        m_obj = geom.an_to_object[aid]
+        p_obj = transform_point(m_obj, p)
+        atype = geom.an_type[aid]
+        n_obj = jnp.where(
+            (atype == SPHERE)[..., None],
+            p_obj,
+            jnp.where(
+                (atype == CYLINDER)[..., None],
+                vec3(p_obj[..., 0], p_obj[..., 1], jnp.zeros_like(p_obj[..., 2])),
+                jnp.where(
+                    (atype == CONE)[..., None],
+                    vec3(p_obj[..., 0], p_obj[..., 1], 1.0 - p_obj[..., 2]),
+                    vec3(
+                        jnp.zeros_like(p_obj[..., 0]),
+                        jnp.zeros_like(p_obj[..., 0]),
+                        jnp.ones_like(p_obj[..., 0]),
+                    ),
+                ),
+            ),
+        )
+        # normals transform by (M_obj)^T (inverse-transpose of to_world)
+        ng_a = normalize(jnp.einsum("...ji,...j->...i", m_obj[..., :3, :3], n_obj))
+        # uv for spheres from spherical coords; others use intersector (u, v)
+        p_obj_len = jnp.sqrt(jnp.maximum(jnp.sum(p_obj * p_obj, -1), 1e-24))
+        theta = jnp.arccos(jnp.clip(p_obj[..., 2] / p_obj_len, -0.999999, 0.999999))
+        phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
+        uv_sph = jnp.stack([phi / (2.0 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1)
+        uv_a = jnp.where(
+            (atype == SPHERE)[..., None], uv_sph, jnp.stack([hit.u, hit.v], axis=-1)
+        )
+        shape_a = geom.an_shape[aid]
+
+    if T > 0 and geom.n_analytic > 0:
+        is_tri = (pid < T)[..., None]
+        ng = jnp.where(is_tri, ng_t, ng_a)
+        ns = jnp.where(is_tri, ns_t, ng_a)
+        uv = jnp.where(is_tri, uv_t, uv_a)
+        shape = jnp.where(pid < T, shape_t, shape_a)
+    elif T > 0:
+        ng, ns, uv, shape = ng_t, ns_t, uv_t, shape_t
+    else:
+        ng, ns, uv, shape = ng_a, ng_a, uv_a, shape_a
+
+    shape = jnp.where(valid, shape, -1)
+    return Interaction(
+        valid=valid,
+        t=t,
+        p=p,
+        n=ns,
+        ng=ng,
+        uv=uv,
+        wi=-d,
+        shape=shape,
+        prim=jnp.where(valid, hit.prim, -1),
+    )
+
+
+def ray_intersect(scene, o, d, tmin=RAY_EPS, tmax=INF) -> Interaction:
+    hit = ray_intersect_hit(scene.geometry, o, d, tmin, tmax)
+    return compute_interaction(scene, o, d, hit)

@@ -1,0 +1,33 @@
+"""Integrator dispatch (equivalent of Mitsuba's integrator plugin factory)."""
+
+from tpu_rt.scene.types import (
+    INTEGRATOR_DIRECT,
+    INTEGRATOR_PATH,
+    INTEGRATOR_STOKES,
+    INTEGRATOR_ULTRASOUND,
+    Scene,
+)
+
+
+def render(scene: Scene, spp=None, seed=0, **kwargs):
+    """Render a scene with its configured integrator (mi.render equivalent).
+
+    Optical integrators return an (H, W, 3) image ((H, W, 4, 3) Stokes for
+    the stokes wrapper); the ultrasound integrator returns the B-mode
+    display image.
+    """
+    if scene.integrator in (INTEGRATOR_PATH, INTEGRATOR_DIRECT):
+        from tpu_rt.integrator.path import render as render_path
+
+        max_depth = 2 if scene.integrator == INTEGRATOR_DIRECT else None
+        return render_path(scene, spp=spp, seed=seed, max_depth=max_depth, **kwargs)
+    if scene.integrator == INTEGRATOR_STOKES:
+        from tpu_rt.integrator.stokes import render_stokes
+
+        return render_stokes(scene, spp=spp, seed=seed, **kwargs)
+    if scene.integrator == INTEGRATOR_ULTRASOUND:
+        from tpu_rt.us.pipeline import us_render
+
+        img, _, _ = us_render(scene, seed=seed, **kwargs)
+        return img
+    raise ValueError(f"unknown integrator {scene.integrator}")

@@ -1,0 +1,218 @@
+"""Megabatched wavefront path tracer with NEE + MIS + Russian roulette.
+
+TPU-native rebuild of the capability the reference gets from Mitsuba's C++
+``path`` integrator (scenes/cbox.xml:7-9; SURVEY.md §3.3): the whole bounce
+loop is a ``lax.scan`` over SoA ray state — one fused XLA program, no
+host<->device crossing per bounce (the reference crosses Python->C++ per
+bounce per ray, CustomIntegrator.py:309).
+
+Estimator notes (correct-by-construction, unlike the reference's acoustic
+loop — SURVEY.md §2d): BSDF importance sampling divides by the sample pdf
+(folded into BSDFSample.weight), NEE uses the power heuristic against BSDF
+pdfs, every lane draws independent RNG via threefry key folding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rt.bsdf import eval as bsdf
+from tpu_rt.core.math import coordinate_system, dot, mis_power_heuristic, to_local, to_world
+from tpu_rt.emitter import sample as emitter
+from tpu_rt.geometry import trace
+from tpu_rt.scene.types import Scene
+from tpu_rt.sensor import camera as cam
+from tpu_rt.sensor import film as film_mod
+
+_MAX_DEPTH_CAP = 32
+
+
+def _resolved_depth(scene: Scene, max_depth=None):
+    d = scene.max_depth if max_depth is None else max_depth
+    if d is None or d < 0:
+        return _MAX_DEPTH_CAP
+    return min(d, _MAX_DEPTH_CAP)
+
+
+def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None):
+    """Trace paths for rays (o, d) [N, 3]; returns radiance L [N, 3].
+
+    ``max_depth`` counts path vertices like Mitsuba: max_depth=1 sees only
+    directly visible emitters, 2 = direct illumination, etc.
+    """
+    n = o.shape[0]
+    depth_cap = _resolved_depth(scene, max_depth)
+    rr_start = scene.rr_depth if rr_depth is None else rr_depth
+
+    state = dict(
+        o=o,
+        d=d,
+        L=jnp.zeros((n, 3), jnp.float32),
+        thr=jnp.ones((n, 3), jnp.float32),
+        eta_scale=jnp.ones((n,), jnp.float32),
+        active=jnp.ones((n,), bool),
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),  # depth-0 hits count fully
+        n_rays=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+    )
+
+    def bounce(state, inputs):
+        depth, key_d = inputs
+        o, d = state["o"], state["d"]
+        active = state["active"]
+        L, thr = state["L"], state["thr"]
+
+        si = trace.ray_intersect(scene, o, d)
+        hit = si.valid & active
+        escaped = ~si.valid & active
+        n_rays = state["n_rays"] + jnp.sum(active.astype(jnp.int32))
+
+        # ---- directly / BSDF-MIS visible emitters --------------------------
+        cos_l = dot(si.n, si.wi)
+        le = emitter.eval_area(scene, si.shape, cos_l)
+        # si.t is +inf on miss; clamp before squaring so reverse-mode stays
+        # finite (inf * 0 cotangent = NaN otherwise).
+        t_safe = jnp.where(si.valid, si.t, 1.0)
+        pdf_light = emitter.pdf_direct_area(scene, si.shape, d, t_safe, cos_l)
+        w_bsdf = jnp.where(
+            state["prev_delta"],
+            1.0,
+            mis_power_heuristic(state["prev_pdf"], pdf_light),
+        )
+        vis_ok = hit & ~((depth == 0) & scene.hide_emitters)
+        L = L + jnp.where(vis_ok[:, None], thr * le * w_bsdf[:, None], 0.0)
+
+        # environment (miss shader)
+        if scene.emitters.has_env:
+            le_env = emitter.eval_env(scene, d)
+            pdf_env = emitter.pdf_direct_env(scene, d)
+            w_env = jnp.where(
+                state["prev_delta"], 1.0, mis_power_heuristic(state["prev_pdf"], pdf_env)
+            )
+            env_ok = escaped & ~((depth == 0) & scene.hide_emitters)
+            L = L + jnp.where(env_ok[:, None], thr * le_env * w_env[:, None], 0.0)
+
+        # ---- local frame -----------------------------------------------------
+        sfr, tfr = coordinate_system(si.n)
+        wi_local = to_local(si.n, sfr, tfr, si.wi)
+
+        b_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
+        b_type = scene.bsdf_type[jnp.clip(b_idx, 0, scene.bsdf_type.shape[0] - 1)]
+        b_params = scene.bsdf_params[jnp.clip(b_idx, 0, scene.bsdf_params.shape[0] - 1)]
+
+        k_nee, k_bsdf, k_rr = (
+            jax.random.fold_in(key_d, 0),
+            jax.random.fold_in(key_d, 1),
+            jax.random.fold_in(key_d, 2),
+        )
+
+        # ---- next-event estimation -------------------------------------------
+        # (skip when this vertex is the last allowed: its NEE light vertex
+        # would exceed max_depth)
+        if scene.emitters.n_lights > 0:
+            s_l = jax.random.uniform(k_nee, (n, 4))
+            ds = emitter.sample_direct(scene, si.p, s_l[:, 0], s_l[:, 1:4], hit)
+            nee_possible = hit & (ds.pdf > 0.0)
+            n_rays = n_rays + jnp.sum(nee_possible.astype(jnp.int32))
+            wo_nee = to_local(si.n, sfr, tfr, ds.d)
+            f_nee, pdf_bsdf_nee = bsdf.eval_pdf(b_type, b_params, wi_local, wo_nee, nee_possible)
+            shadow_o = si.spawn_origin(ds.d)
+            occluded = trace.ray_test(
+                scene.geometry, shadow_o, ds.d, tmin=trace.RAY_EPS, tmax=ds.dist * (1.0 - 1e-3)
+            )
+            vis = nee_possible & ~occluded
+            w_nee = jnp.where(
+                ds.delta, 1.0, mis_power_heuristic(ds.pdf, pdf_bsdf_nee)
+            )
+            contrib = thr * f_nee * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
+            L = L + jnp.where(vis[:, None], contrib, 0.0)
+
+        # ---- BSDF sampling & bounce ---------------------------------------------
+        s1 = jax.random.uniform(k_bsdf, (n,))
+        s2 = jax.random.uniform(jax.random.fold_in(k_bsdf, 7), (n, 2))
+        bs = bsdf.sample(b_type, b_params, wi_local, s1, s2, hit)
+        d_new = to_world(si.n, sfr, tfr, bs.wo)
+        o_new = si.spawn_origin(d_new)
+
+        thr_new = thr * bs.weight
+        eta_scale = state["eta_scale"] * bs.eta
+        alive = hit & (bs.pdf > 0.0) & (jnp.max(thr_new, axis=-1) > 0.0)
+
+        # ---- Russian roulette ----------------------------------------------------
+        inv_eta2 = 1.0 / jnp.maximum(eta_scale * eta_scale, 1e-12)
+        q = jnp.minimum(jnp.max(thr_new, axis=-1) * inv_eta2, 0.95)
+        u_rr = jax.random.uniform(k_rr, (n,))
+        do_rr = depth >= rr_start
+        survive = jnp.where(do_rr, u_rr < q, True)
+        thr_new = jnp.where(
+            (do_rr & survive)[:, None], thr_new / jnp.maximum(q, 1e-12)[:, None], thr_new
+        )
+        alive = alive & survive
+
+        new_state = dict(
+            o=o_new,
+            d=d_new,
+            L=L,
+            thr=jnp.where(alive[:, None], thr_new, 0.0),
+            eta_scale=eta_scale,
+            active=alive,
+            prev_pdf=bs.pdf,
+            prev_delta=bs.delta,
+            n_rays=n_rays,
+        )
+        return new_state, None
+
+    keys = jax.random.split(key, depth_cap)
+    depths = jnp.arange(depth_cap)
+    state, _ = jax.lax.scan(bounce, state, (depths, keys))
+    return state["L"], state["n_rays"]
+
+
+def render_sample_batch(scene: Scene, key, max_depth=None):
+    """One sample per pixel: raygen -> path_trace -> (film_xy, L, n_rays)."""
+    c = scene.camera
+    H, W = c.height, c.width
+    xy_int = jnp.stack(
+        jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), axis=-1
+    ).reshape(-1, 2)
+    k_jit, k_path = jax.random.split(key)
+    jitter = jax.random.uniform(k_jit, (H * W, 2))
+    film_xy = xy_int.astype(jnp.float32) + jitter
+    o, d = cam.sample_ray(c, film_xy)
+    L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth)
+    return film_xy, L, n_rays
+
+
+def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=None):
+    """Full render: returns (H, W, 3) image.
+
+    Work is chunked over spp passes (one jit-compiled pass reused), so HBM
+    holds one W*H megabatch of ray state at a time.
+    """
+    c = scene.camera
+    spp = c.spp if spp is None else spp
+    H, W = c.height, c.width
+
+    @jax.jit
+    def one_pass(film_vals, film_wts, key):
+        film_xy, L, n_rays = render_sample_batch(scene, key, max_depth=max_depth)
+        ok = jnp.all(jnp.isfinite(L), axis=-1)
+        L = jnp.where(ok[:, None], L, 0.0)
+        fv, fw = film_mod.splat(film_vals, film_wts, film_xy, L, ok, c.filter_type)
+        return fv, fw, n_rays
+
+    film_vals = jnp.zeros((H, W, 3), jnp.float32)
+    film_wts = jnp.zeros((H, W), jnp.float32)
+    ray_counts = []  # device futures; summed once at the end (no sync per pass)
+    root = jax.random.PRNGKey(seed)
+    for i in range(spp):
+        film_vals, film_wts, n_rays = one_pass(
+            film_vals, film_wts, jax.random.fold_in(root, i)
+        )
+        ray_counts.append(n_rays)
+    img = film_mod.develop(film_vals, film_wts)
+    render.last_ray_count = int(
+        sum(int(c_) for c_ in jax.device_get(ray_counts))
+    )  # observability (SURVEY.md §5 metrics row)
+    return img

@@ -1,0 +1,148 @@
+"""Differentiable inverse rendering: mi.traverse()-style parameter access +
+gradient optimization loops.
+
+The reference intended Dr.Jit autodiff + Adam but shipped a finite-difference
+loop (25 iters x 2 full sims, /root/reference/USMain.py:262-298, commented AD
+at :300-350).  Here the whole pipeline (acquisition -> beamforming -> loss,
+or path render -> loss) is jax.grad-differentiable, so the optimization uses
+exact gradients — one forward+backward per iteration instead of two forwards
+per FD probe.
+
+Parameters are addressed with Mitsuba-style keys:
+  "<shape_id>.bsdf.roughness", "<shape_id>.bsdf.impedance", ... mapping into
+  scene.bsdf_params rows (ParamFlags.Differentiable equivalents:
+  CustomBSDF.py:186-188, CustomEmmitter.py:114-124, CustomIntegrator.py:409).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_rt.scene.types import (
+    BSDF_CONDUCTOR,
+    BSDF_DIELECTRIC,
+    BSDF_DIFFUSE,
+    BSDF_POLARIZER,
+    BSDF_ROUGH_CONDUCTOR,
+    BSDF_ULTRASOUND,
+    Scene,
+)
+
+# param name -> (applicable bsdf types, column range in bsdf_params)
+_BSDF_PARAM_SLOTS = {
+    "reflectance": ((BSDF_DIFFUSE,), (0, 3)),
+    "int_ior": ((BSDF_DIELECTRIC,), (0, 1)),
+    "ext_ior": ((BSDF_DIELECTRIC,), (1, 2)),
+    "eta": ((BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR), (0, 3)),
+    "k": ((BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR), (3, 6)),
+    "alpha": ((BSDF_ROUGH_CONDUCTOR,), (9, 10)),
+    "theta": ((BSDF_POLARIZER,), (0, 1)),
+    "impedance": ((BSDF_ULTRASOUND,), (0, 1)),
+    "roughness": ((BSDF_ULTRASOUND,), (1, 2)),
+}
+
+# ultrasound config attributes addressable via "ultrasound.<name>" keys
+_US_PARAMS = {
+    "pitch", "frequency", "sound_speed", "attenuation", "main_beam_angle",
+    "cutoff_angle", "sampling_rate", "angles", "elements_width",
+    "elements_height", "radius", "directivity",
+}
+
+
+def traverse(scene: Scene):
+    """List every differentiable parameter key (mi.traverse equivalent)."""
+    keys = []
+    shapes = scene.ids["shapes"] if scene.ids else {}
+    shape_bsdf = scene.ids["shape_bsdf"] if scene.ids else []
+    import numpy as np
+
+    btypes = np.asarray(scene.bsdf_type)
+    for name, sid in shapes.items():
+        b = shape_bsdf[sid]
+        for pname, (types, _) in _BSDF_PARAM_SLOTS.items():
+            if btypes[b] in types:
+                keys.append(f"{name}.bsdf.{pname}")
+    if scene.ultrasound is not None:
+        keys += [f"ultrasound.{p}" for p in sorted(_US_PARAMS)]
+    return keys
+
+
+def _resolve(scene: Scene, key: str):
+    parts = key.split(".")
+    if parts[0] == "ultrasound":
+        if parts[1] not in _US_PARAMS:
+            raise KeyError(key)
+        return ("us", parts[1])
+    if len(parts) == 3 and parts[1] == "bsdf":
+        shape_name, _, pname = parts
+        sid = scene.ids["shapes"][shape_name]
+        b = scene.ids["shape_bsdf"][sid]
+        types, (lo, hi) = _BSDF_PARAM_SLOTS[pname]
+        return ("bsdf", b, lo, hi)
+    raise KeyError(f"cannot resolve parameter key {key!r}")
+
+
+def get_param(scene: Scene, key: str):
+    r = _resolve(scene, key)
+    if r[0] == "us":
+        return getattr(scene.ultrasound, r[1])
+    _, b, lo, hi = r
+    v = scene.bsdf_params[b, lo:hi]
+    return v[0] if hi - lo == 1 else v
+
+
+def set_param(scene: Scene, key: str, value) -> Scene:
+    """Functionally update a parameter (params.update() equivalent)."""
+    r = _resolve(scene, key)
+    if r[0] == "us":
+        us = dataclasses.replace(scene.ultrasound, **{r[1]: jnp.asarray(value, jnp.float32)})
+        return dataclasses.replace(scene, ultrasound=us)
+    _, b, lo, hi = r
+    value = jnp.broadcast_to(jnp.asarray(value, jnp.float32), (hi - lo,))
+    return dataclasses.replace(
+        scene, bsdf_params=scene.bsdf_params.at[b, lo:hi].set(value)
+    )
+
+
+def optimize(scene: Scene, keys, loss_fn, n_iters=25, lr=2e-2,
+             bounds=(1e-4, 1.0), verbose=False):
+    """Adam-optimize scene parameters against ``loss_fn(scene) -> scalar``.
+
+    The jax.grad realization of the loop the reference ran with finite
+    differences (USMain.py:276-298; lr 2e-2 / 25 iters / clip to [1e-4, 1]
+    are its defaults).
+    Returns (optimized scene, list of losses).
+    """
+    params0 = {k: jnp.asarray(get_param(scene, k), jnp.float32) for k in keys}
+
+    def apply(sc, params):
+        for k, v in params.items():
+            sc = set_param(sc, k, v)
+        return sc
+
+    @jax.jit
+    def step(params, opt_state):
+        def f(p):
+            return loss_fn(apply(scene, p))
+
+        loss, grads = jax.value_and_grad(f)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = jax.tree.map(lambda x: jnp.clip(x, bounds[0], bounds[1]), params)
+        return params, opt_state, loss
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params0)
+    params = params0
+    losses = []
+    for it in range(n_iters):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+        if verbose:
+            vals = {k: float(jnp.ravel(v)[0]) for k, v in params.items()}
+            print(f"iter {it}: loss={losses[-1]:.4g} {vals}")
+    return apply(scene, params), losses

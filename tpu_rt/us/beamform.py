@@ -1,0 +1,115 @@
+"""Plane-wave delay-and-sum beamforming, envelope detection, B-mode.
+
+TPU-native replacement for the ultraspy pipeline the reference drives at
+/root/reference/USMain.py:126-219 (build_probe / DelayAndSum / GridScan /
+compute_envelope) — SURVEY.md §2b DAS row.  The hot loop is a pure gather +
+reduction over (angles x elements), jit-compiled; envelope detection is a
+Hilbert transform via jnp.fft; log compression matches USMain.py:213-219
+bit-for-bit semantics (20*log10, 60 dB dynamic range, normalize).
+
+Geometry/time conventions match the acquisition integrator: with per-element
+transmit delays t = x sin(a)/c (CustomIntegrator.py:87), the synthesized
+plane wave reaches pixel (x, z) at t_tx = (x sin a + z cos a)/c; the echo
+returns to element x_e after t_rx = sqrt((x - x_e)^2 + z^2)/c.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def grid_scan(x_min, x_max, z_min, z_max, step_lateral, step_axial):
+    """Pixel grid equivalent of ultraspy GridScan (USMain.py:193-204)."""
+    x = np.arange(x_min, x_max + step_lateral, step_lateral, dtype=np.float32)
+    z = np.arange(z_min, z_max + step_axial, step_axial, dtype=np.float32)
+    if x.size == 0:
+        x = np.asarray([x_min], np.float32)
+    if z.size == 0:
+        z = np.asarray([z_min], np.float32)
+    return jnp.asarray(x), jnp.asarray(z)
+
+
+def das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
+                 t_offset=0.0):
+    """Delay-and-sum beamforming of plane-wave RF data.
+
+    Args:
+      channel_data: [A, E, T] RF samples.
+      angles_deg: [A] steering angles (degrees).
+      elem_x: [E] element lateral positions (m).
+      fs: sampling rate (Hz).  c: sound speed (m/s).
+      x_grid: [Nx], z_grid: [Nz] image grid (m).
+      t_offset: acquisition start time t0.
+    Returns beamformed image [Nx, Nz] (lateral x axial, like ultraspy).
+    """
+    channel_data = jnp.asarray(channel_data)
+    elem_x = jnp.asarray(elem_x)
+    A, E, T = channel_data.shape
+    angles = jnp.deg2rad(jnp.asarray(angles_deg))
+    X, Z = jnp.meshgrid(x_grid, z_grid, indexing="ij")  # [Nx, Nz]
+    P = X.size
+    px = X.reshape(-1)
+    pz = Z.reshape(-1)
+
+    inv_c = 1.0 / c
+
+    def one_angle(acc, a_idx):
+        t_tx = (px * jnp.sin(angles[a_idx]) + pz * jnp.cos(angles[a_idx])) * inv_c
+
+        def one_elem(acc_e, e_idx):
+            t_rx = jnp.sqrt((px - elem_x[e_idx]) ** 2 + pz**2) * inv_c
+            t_f = (t_tx + t_rx - t_offset) * fs
+            i0 = jnp.floor(t_f)
+            w = t_f - i0
+            i0 = i0.astype(jnp.int32)
+            rf = channel_data[a_idx, e_idx]
+            v0 = jnp.where((i0 >= 0) & (i0 < T), rf[jnp.clip(i0, 0, T - 1)], 0.0)
+            v1 = jnp.where(
+                (i0 + 1 >= 0) & (i0 + 1 < T), rf[jnp.clip(i0 + 1, 0, T - 1)], 0.0
+            )
+            return acc_e + v0 * (1.0 - w) + v1 * w, None
+
+        acc_a, _ = jax.lax.scan(one_elem, jnp.zeros((P,), jnp.float32), jnp.arange(E))
+        return acc + acc_a, None
+
+    out, _ = jax.lax.scan(one_angle, jnp.zeros((P,), jnp.float32), jnp.arange(A))
+    return out.reshape(X.shape)
+
+
+def hilbert_envelope(img, axis=-1):
+    """Envelope via the analytic signal (Hilbert transform along ``axis``),
+    equivalent of ultraspy compute_envelope (USMain.py:208)."""
+    n = img.shape[axis]
+    Xf = jnp.fft.fft(img, axis=axis)
+    h = np.zeros(n, np.float32)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[n // 2] = 1.0
+        h[1 : n // 2] = 2.0
+    else:
+        h[1 : (n + 1) // 2] = 2.0
+    shape = [1] * img.ndim
+    shape[axis] = n
+    analytic = jnp.fft.ifft(Xf * jnp.asarray(h).reshape(shape), axis=axis)
+    return jnp.abs(analytic)
+
+
+def log_compress(envelope, dynamic_range=60.0):
+    """20*log10 compression to [0, 1] over ``dynamic_range`` dB
+    (USMain.py:213-219)."""
+    db = 20.0 * jnp.log10(envelope + 1e-12)
+    max_db = jnp.max(db)
+    min_db = max_db - dynamic_range
+    return (jnp.clip(db, min_db, max_db) - min_db) / dynamic_range
+
+
+def bmode_pipeline(channel_data, angles_deg, elem_x, fs, c,
+                   x_grid, z_grid, dynamic_range=60.0):
+    """channel data -> beamform -> envelope (axial) -> log compression.
+    Returns display image [Nz, Nx] (depth down, like USMain.py:224)."""
+    bf = das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid)
+    env = hilbert_envelope(bf, axis=1)  # axial (z) axis
+    img = log_compress(env, dynamic_range)
+    return img.T  # (z, x) a.k.a. display orientation
