@@ -81,6 +81,7 @@ class _Builder:
         self.bsdf_names = {}  # scene key -> index
         self.shape_bsdf = []
         self.shape_emitter = []
+        self.shape_to_world = []
         self.shape_names = {}
         self.tri = {k: [] for k in ("p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "shape")}
         self.an = {"type": [], "to_world": [], "shape": []}
@@ -283,6 +284,7 @@ class _Builder:
 
         self.shape_bsdf.append(bsdf_idx)
         self.shape_emitter.append(emitter_idx)
+        self.shape_to_world.append(np.asarray(to_world, np.float32))
         self.shape_tri_ranges.append(tri_range)
 
     # -- Emitters (top level) --------------------------------------------------
@@ -467,6 +469,11 @@ class _Builder:
             emitters=emitters,
             shape_bsdf=jnp.asarray(np.asarray(self.shape_bsdf, np.int32)),
             shape_emitter=jnp.asarray(np.asarray(self.shape_emitter, np.int32)),
+            shape_to_world=jnp.asarray(
+                np.stack(self.shape_to_world)
+                if self.shape_to_world
+                else np.zeros((0, 4, 4), np.float32)
+            ),
             bsdf_type=jnp.asarray(bsdf_type),
             bsdf_params=jnp.asarray(bsdf_params),
             camera=self.camera,

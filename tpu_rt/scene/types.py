@@ -210,6 +210,9 @@ class Scene:
     # Per-shape tables (indexed by shape id).
     shape_bsdf: jnp.ndarray  # [N] bsdf index
     shape_emitter: jnp.ndarray  # [N] area-emitter index or -1
+    shape_to_world: jnp.ndarray  # [N, 4, 4] original to_world (meshes are
+    # baked to world space; this keeps the authored frame, e.g. for
+    # polarizer transmission axes)
 
     # BSDF tables.
     bsdf_type: jnp.ndarray  # [B]
