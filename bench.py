@@ -8,53 +8,34 @@ Runs on the real TPU chip (no platform override).
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
-import jax
-import jax.numpy as jnp
-
 
 def main():
+    import jax
+
     import tpu_rt
-    from tpu_rt.integrator.path import render_sample_batch
-    from tpu_rt.sensor import film as film_mod
+    from tpu_rt.integrator.path import render
 
     res = int(os.environ.get("BENCH_RES", "512"))
     spp = int(os.environ.get("BENCH_SPP", "256"))
-    timed_passes = int(os.environ.get("BENCH_TIMED_PASSES", "24"))
+    spp_per_pass = int(os.environ.get("BENCH_SPP_PER_PASS", "16"))
+    warmup = spp_per_pass
 
     scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=res, spp=spp)
-    c = scene.camera
 
-    @jax.jit
-    def one_pass(film_vals, film_wts, key):
-        film_xy, L, n_rays = render_sample_batch(scene, key)
-        ok = jnp.all(jnp.isfinite(L), axis=-1)
-        L = jnp.where(ok[:, None], L, 0.0)
-        fv, fw = film_mod.splat(film_vals, film_wts, film_xy, L, ok, c.filter_type)
-        return fv, fw, n_rays
+    # Warmup / compile with the same compiled shape as the timed run.
+    img = render(scene, spp=warmup, seed=123, spp_per_pass=spp_per_pass)
+    jax.block_until_ready(img)
 
-    fv = jnp.zeros((c.height, c.width, 3), jnp.float32)
-    fw = jnp.zeros((c.height, c.width), jnp.float32)
-    root = jax.random.PRNGKey(0)
-
-    # Warmup / compile.
-    fv, fw, n0 = one_pass(fv, fw, jax.random.fold_in(root, 0))
-    jax.block_until_ready(fv)
-
-    n_timed = min(timed_passes, spp - 1)
     t0 = time.perf_counter()
-    counts = []
-    for i in range(1, 1 + n_timed):
-        fv, fw, n_rays = one_pass(fv, fw, jax.random.fold_in(root, i))
-        counts.append(n_rays)
-    jax.block_until_ready(fv)
+    img = render(scene, spp=spp, seed=0, spp_per_pass=spp_per_pass)
+    jax.block_until_ready(img)
     dt = time.perf_counter() - t0
-    total_rays = int(sum(int(x) for x in jax.device_get(counts)))
+    total_rays = render.last_ray_count
 
     rays_per_sec = total_rays / dt
     print(

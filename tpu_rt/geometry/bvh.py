@@ -18,8 +18,11 @@ LEAF_SIZE = 4
 N_BINS = 16
 
 
-def build_bvh(bb_min, bb_max):
+def build_bvh(bb_min, bb_max, use_native=True):
     """Build a SAH-binned BVH over primitive AABBs.
+
+    Prefers the native C++ builder (tpu_rt.ops.native, ~100x faster on large
+    meshes) and falls back to the numpy implementation below.
 
     Args:
       bb_min, bb_max: [P, 3] float32 primitive bounds.
@@ -28,6 +31,12 @@ def build_bvh(bb_min, bb_max):
       prim_order [P] (int32).
     """
     P = bb_min.shape[0]
+    if use_native and P > 0:
+        from tpu_rt.ops.native import build_bvh_native
+
+        result = build_bvh_native(np.asarray(bb_min), np.asarray(bb_max))
+        if result is not None:
+            return result
     if P == 0:
         return {
             "node_min": np.zeros((1, 3), np.float32),

@@ -128,31 +128,69 @@ def _intersect_prim(geom: Geometry, pid, o, d, tmin, tmax):
 # ---------------------------------------------------------------------------
 
 def _trace_bruteforce(geom: Geometry, o, d, tmin, tmax) -> Hit:
-    P = geom.n_tris + geom.n_analytic
+    """All-prims-at-once brute force: one wide (N, P) vectorized intersection
+    + argmin, instead of a sequential loop — the TPU-friendly shape for the
+    small analytic scenes (cbox is 12 tris + 2 spheres)."""
     # Keep the search range strictly below the finite miss sentinel so a
     # caller-provided tmax of +inf can't turn sentinel values into "hits".
     tmax = jnp.minimum(tmax, 0.99 * INF)
+    shp = o.shape[:-1]
+    o2 = o.reshape(-1, 1, 3)
+    d2 = d.reshape(-1, 1, 3)
+    tmin_b = jnp.broadcast_to(tmin, shp).reshape(-1, 1)
+    tmax_b = jnp.broadcast_to(tmax, shp).reshape(-1, 1).astype(jnp.float32)
 
-    def body(pid, carry):
-        best_t, best_prim, best_u, best_v = carry
-        t, u, v = _intersect_prim(geom, pid, o, d, tmin, best_t)
-        closer = t < best_t
-        return (
-            jnp.where(closer, t, best_t),
-            jnp.where(closer, pid, best_prim),
-            jnp.where(closer, u, best_u),
-            jnp.where(closer, v, best_v),
+    ts, us, vs = [], [], []
+    if geom.n_tris > 0:
+        t, u, v = isect.ray_triangle(
+            o2, d2,
+            geom.tri_p0[None, :, :], geom.tri_e1[None, :, :], geom.tri_e2[None, :, :],
+            tmin_b, tmax_b,
         )
+        ts.append(t)
+        us.append(u)
+        vs.append(v)
+    if geom.n_analytic > 0:
+        rot = geom.an_to_object[:, :3, :3]  # [A, 3, 3]
+        trans = geom.an_to_object[:, :3, 3]  # [A, 3]
+        oo = jnp.einsum("apq,nq->nap", rot, o.reshape(-1, 3)) + trans[None]
+        od = jnp.einsum("apq,nq->nap", rot, d.reshape(-1, 3))
+        atype = geom.an_type[None, :]
 
-    n = o.shape[:-1]
-    init = (
-        jnp.broadcast_to(tmax, n).astype(jnp.float32),
-        jnp.full(n, -1, jnp.int32),
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros(n, jnp.float32),
+        t_s, u_s, v_s = isect.ray_sphere(oo, od, tmin_b, tmax_b)
+        t_r, u_r, v_r = isect.ray_rectangle(oo, od, tmin_b, tmax_b)
+        t_d, u_d, v_d = isect.ray_disk(oo, od, tmin_b, tmax_b)
+        t_c, u_c, v_c = isect.ray_cylinder(oo, od, tmin_b, tmax_b)
+        t_k, u_k, v_k = isect.ray_cone(oo, od, tmin_b, tmax_b)
+
+        def sel(s, r, dk, c, k):
+            out = jnp.where(atype == SPHERE, s, INF)
+            out = jnp.where(atype == RECTANGLE, r, out)
+            out = jnp.where(atype == DISK, dk, out)
+            out = jnp.where(atype == CYLINDER, c, out)
+            out = jnp.where(atype == CONE, k, out)
+            return out
+
+        ts.append(sel(t_s, t_r, t_d, t_c, t_k))
+        us.append(sel(u_s, u_r, u_d, u_c, u_k))
+        vs.append(sel(v_s, v_r, v_d, v_c, v_k))
+
+    t_all = jnp.concatenate(ts, axis=1)  # [N, P]
+    u_all = jnp.concatenate(us, axis=1)
+    v_all = jnp.concatenate(vs, axis=1)
+    best = jnp.argmin(t_all, axis=1)
+    idx = best[:, None]
+    best_t = jnp.take_along_axis(t_all, idx, axis=1)[:, 0]
+    best_u = jnp.take_along_axis(u_all, idx, axis=1)[:, 0]
+    best_v = jnp.take_along_axis(v_all, idx, axis=1)[:, 0]
+    hit = best_t < tmax_b[:, 0]
+    best_prim = jnp.where(hit, best.astype(jnp.int32), -1)
+    return Hit(
+        t=jnp.where(hit, best_t, INF).reshape(shp),
+        prim=best_prim.reshape(shp),
+        u=best_u.reshape(shp),
+        v=best_v.reshape(shp),
     )
-    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(0, P, body, init)
-    return Hit(t=best_t, prim=best_prim, u=best_u, v=best_v)
 
 
 # ---------------------------------------------------------------------------

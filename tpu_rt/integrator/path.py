@@ -14,6 +14,8 @@ pdfs, every lane draws independent RNG via threefry key folding.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -101,19 +103,18 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None):
         b_type = scene.bsdf_type[jnp.clip(b_idx, 0, scene.bsdf_type.shape[0] - 1)]
         b_params = scene.bsdf_params[jnp.clip(b_idx, 0, scene.bsdf_params.shape[0] - 1)]
 
-        k_nee, k_bsdf, k_rr = (
-            jax.random.fold_in(key_d, 0),
-            jax.random.fold_in(key_d, 1),
-            jax.random.fold_in(key_d, 2),
-        )
+        # One fused RNG draw per bounce: [0:4] NEE, [4] lobe, [5:7] bsdf 2D,
+        # [7] Russian roulette.
+        s_all = jax.random.uniform(key_d, (n, 8))
 
         # ---- next-event estimation -------------------------------------------
-        # (skip when this vertex is the last allowed: its NEE light vertex
-        # would exceed max_depth)
+        # NEE adds a path one segment longer than this vertex's, so gate it
+        # by Mitsuba's depth convention: vertex i+1 -> light = i+2 segments,
+        # allowed only while depth + 2 <= max_depth.
         if scene.emitters.n_lights > 0:
-            s_l = jax.random.uniform(k_nee, (n, 4))
+            s_l = s_all[:, 0:4]
             ds = emitter.sample_direct(scene, si.p, s_l[:, 0], s_l[:, 1:4], hit)
-            nee_possible = hit & (ds.pdf > 0.0)
+            nee_possible = hit & (ds.pdf > 0.0) & (depth + 2 <= depth_cap)
             n_rays = n_rays + jnp.sum(nee_possible.astype(jnp.int32))
             wo_nee = to_local(si.n, sfr, tfr, ds.d)
             f_nee, pdf_bsdf_nee = bsdf.eval_pdf(b_type, b_params, wi_local, wo_nee, nee_possible)
@@ -129,9 +130,7 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None):
             L = L + jnp.where(vis[:, None], contrib, 0.0)
 
         # ---- BSDF sampling & bounce ---------------------------------------------
-        s1 = jax.random.uniform(k_bsdf, (n,))
-        s2 = jax.random.uniform(jax.random.fold_in(k_bsdf, 7), (n, 2))
-        bs = bsdf.sample(b_type, b_params, wi_local, s1, s2, hit)
+        bs = bsdf.sample(b_type, b_params, wi_local, s_all[:, 4], s_all[:, 5:7], hit)
         d_new = to_world(si.n, sfr, tfr, bs.wo)
         o_new = si.spawn_origin(d_new)
 
@@ -142,7 +141,7 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None):
         # ---- Russian roulette ----------------------------------------------------
         inv_eta2 = 1.0 / jnp.maximum(eta_scale * eta_scale, 1e-12)
         q = jnp.minimum(jnp.max(thr_new, axis=-1) * inv_eta2, 0.95)
-        u_rr = jax.random.uniform(k_rr, (n,))
+        u_rr = s_all[:, 7]
         do_rr = depth >= rr_start
         survive = jnp.where(do_rr, u_rr < q, True)
         thr_new = jnp.where(
@@ -184,33 +183,44 @@ def render_sample_batch(scene: Scene, key, max_depth=None):
     return film_xy, L, n_rays
 
 
-def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=None):
+def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
     """Full render: returns (H, W, 3) image.
 
-    Work is chunked over spp passes (one jit-compiled pass reused), so HBM
-    holds one W*H megabatch of ray state at a time.
+    Work is chunked: each jit call runs ``spp_per_pass`` one-sample-per-pixel
+    waves via lax.scan (amortizing host dispatch), so HBM holds one W*H
+    megabatch of ray state at a time.
     """
     c = scene.camera
     spp = c.spp if spp is None else spp
     H, W = c.height, c.width
+    spp_per_pass = max(1, min(spp_per_pass, spp))
 
-    @jax.jit
-    def one_pass(film_vals, film_wts, key):
-        film_xy, L, n_rays = render_sample_batch(scene, key, max_depth=max_depth)
-        ok = jnp.all(jnp.isfinite(L), axis=-1)
-        L = jnp.where(ok[:, None], L, 0.0)
-        fv, fw = film_mod.splat(film_vals, film_wts, film_xy, L, ok, c.filter_type)
-        return fv, fw, n_rays
+    @partial(jax.jit, static_argnames=("n_keys",))
+    def passes(film_vals, film_wts, keys, n_keys):
+        def one(carry, key):
+            fv, fw, acc = carry
+            film_xy, L, n_rays = render_sample_batch(scene, key, max_depth=max_depth)
+            ok = jnp.all(jnp.isfinite(L), axis=-1)
+            L = jnp.where(ok[:, None], L, 0.0)
+            fv, fw = film_mod.splat(fv, fw, film_xy, L, ok, c.filter_type)
+            return (fv, fw, acc + n_rays), None
+
+        (fv, fw, acc), _ = jax.lax.scan(
+            one, (film_vals, film_wts, jnp.zeros((), jnp.int32)), keys
+        )
+        return fv, fw, acc
 
     film_vals = jnp.zeros((H, W, 3), jnp.float32)
     film_wts = jnp.zeros((H, W), jnp.float32)
     ray_counts = []  # device futures; summed once at the end (no sync per pass)
     root = jax.random.PRNGKey(seed)
-    for i in range(spp):
-        film_vals, film_wts, n_rays = one_pass(
-            film_vals, film_wts, jax.random.fold_in(root, i)
-        )
+    done = 0
+    while done < spp:
+        k = min(spp_per_pass, spp - done)
+        keys = jnp.stack([jax.random.fold_in(root, done + i) for i in range(k)])
+        film_vals, film_wts, n_rays = passes(film_vals, film_wts, keys, n_keys=k)
         ray_counts.append(n_rays)
+        done += k
     img = film_mod.develop(film_vals, film_wts)
     render.last_ray_count = int(
         sum(int(c_) for c_ in jax.device_get(ray_counts))

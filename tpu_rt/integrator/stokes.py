@@ -236,17 +236,16 @@ def stokes_trace(scene: Scene, o, d, key, max_depth=None):
         b_type = scene.bsdf_type[jnp.clip(b_idx, 0, scene.bsdf_type.shape[0] - 1)]
         b_params = scene.bsdf_params[jnp.clip(b_idx, 0, scene.bsdf_params.shape[0] - 1)]
 
-        k_nee, k_bsdf, k_rr = (
-            jax.random.fold_in(key_d, 0),
-            jax.random.fold_in(key_d, 1),
-            jax.random.fold_in(key_d, 2),
-        )
+        # One fused RNG draw per bounce, identical layout to the scalar path
+        # tracer so both renderers trace the SAME sample paths (Stokes-I
+        # parity is exact per-sample, not just in expectation).
+        s_all = jax.random.uniform(key_d, (n, 8))
 
         # --- NEE (depolarizing + rough-conductor lobes only) -----------------
         if scene.emitters.n_lights > 0:
-            s_l = jax.random.uniform(k_nee, (n, 4))
+            s_l = s_all[:, 0:4]
             ds = emitter.sample_direct(scene, si.p, s_l[:, 0], s_l[:, 1:4], hit)
-            nee_possible = hit & (ds.pdf > 0.0)
+            nee_possible = hit & (ds.pdf > 0.0) & (depth + 2 <= depth_cap)
             wo_nee = to_local(si.n, sfr, tfr, ds.d)
             f_nee, pdf_bsdf_nee = bsdf.eval_pdf(b_type, b_params, wi_local, wo_nee, nee_possible)
             occluded = trace.ray_test(
@@ -263,9 +262,7 @@ def stokes_trace(scene: Scene, o, d, key, max_depth=None):
             S = add_emission(S, T_nee, jnp.ones_like(scalar_nee), vis, jnp.ones((n,)))
 
         # --- BSDF sampling & Mueller chain ------------------------------------
-        s1 = jax.random.uniform(k_bsdf, (n,))
-        s2 = jax.random.uniform(jax.random.fold_in(k_bsdf, 7), (n, 2))
-        bs = bsdf.sample(b_type, b_params, wi_local, s1, s2, hit)
+        bs = bsdf.sample(b_type, b_params, wi_local, s_all[:, 4], s_all[:, 5:7], hit)
         d_new = to_world(si.n, sfr, tfr, bs.wo)
         o_new = si.spawn_origin(d_new)
 
@@ -300,7 +297,7 @@ def stokes_trace(scene: Scene, o, d, key, max_depth=None):
         eta_scale = state["eta_scale"] * bs.eta
         inv_eta2 = 1.0 / jnp.maximum(eta_scale * eta_scale, 1e-12)
         q = jnp.minimum(thr_I * inv_eta2, 0.95)
-        u_rr = jax.random.uniform(k_rr, (n,))
+        u_rr = s_all[:, 7]
         do_rr = depth >= rr_start
         survive = jnp.where(do_rr, u_rr < q, True)
         T_new = jnp.where(

@@ -372,6 +372,10 @@ class _Builder:
         if itype == "ultrasound_integrator":
             self.us_int = {k: v for k, v in idict.items() if k != "type"}
             self.max_depth = int(idict.get("max_depth", 2))
+        elif itype in ("direct", "direct_projective"):
+            # direct illumination == two path segments (Mitsuba semantics)
+            self.max_depth = 2
+            self.hide_emitters = bool(idict.get("hide_emitters", False))
         else:
             self.max_depth = int(idict.get("max_depth", -1))
             self.rr_depth = int(idict.get("rr_depth", 5))

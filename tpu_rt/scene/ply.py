@@ -75,6 +75,15 @@ def load_ply(path):
 
 
 def _triangulate(face_lists):
+    if isinstance(face_lists, np.ndarray) and face_lists.ndim == 2:
+        if face_lists.shape[1] == 3:  # already triangles
+            return face_lists.astype(np.int32)
+        out = []
+        for k in range(1, face_lists.shape[1] - 1):
+            out.append(np.stack(
+                [face_lists[:, 0], face_lists[:, k], face_lists[:, k + 1]], -1
+            ))
+        return np.concatenate(out, 0).astype(np.int32)
     tris = []
     for fl in face_lists:
         for k in range(1, len(fl) - 1):
@@ -134,18 +143,45 @@ def _read_binary(f, elements, data, endian):
                 idx_dt = np.dtype(endian + idx_t)
                 val_dt = np.dtype(endian + val_t)
                 raw = f.read()
-                off = 0
-                lists = []
                 buf = np.frombuffer(raw, np.uint8)
-                for _ in range(el["count"]):
-                    cnt = int(np.frombuffer(buf[off:off + idx_dt.itemsize].tobytes(), idx_dt)[0])
-                    off += idx_dt.itemsize
-                    vals = np.frombuffer(
-                        buf[off:off + cnt * val_dt.itemsize].tobytes(), val_dt, count=cnt
-                    ).astype(np.int64)
-                    off += cnt * val_dt.itemsize
-                    lists.append(vals)
-                cols[name] = lists
+                count = el["count"]
+                # Vectorized uniform-triangle path: if every list has length
+                # 3 the element is a fixed-stride record array.
+                stride3 = idx_dt.itemsize + 3 * val_dt.itemsize
+                uniform3 = False
+                if len(raw) >= count * stride3:
+                    rec = np.frombuffer(raw[: count * stride3], np.uint8).reshape(
+                        count, stride3
+                    )
+                    counts = rec[:, : idx_dt.itemsize].copy().view(idx_dt)[:, 0]
+                    uniform3 = bool((counts == 3).all()) and len(raw) >= count * stride3
+                if uniform3:
+                    cols[name] = (
+                        rec[:, idx_dt.itemsize :]
+                        .copy()
+                        .view(val_dt)
+                        .astype(np.int64)
+                    )  # (count, 3); _triangulate handles 2-D arrays
+                    off = count * stride3
+                else:
+                    off = 0
+                    lists = []
+                    for _ in range(count):
+                        cnt = int(
+                            np.frombuffer(
+                                buf[off : off + idx_dt.itemsize].tobytes(), idx_dt
+                            )[0]
+                        )
+                        off += idx_dt.itemsize
+                        lists.append(
+                            np.frombuffer(
+                                buf[off : off + cnt * val_dt.itemsize].tobytes(),
+                                val_dt,
+                                count=cnt,
+                            ).astype(np.int64)
+                        )
+                        off += cnt * val_dt.itemsize
+                    cols[name] = lists
                 # put back any remaining bytes for subsequent elements
                 f_remainder = raw[off:]
                 if f_remainder:
