@@ -189,3 +189,57 @@ def test_inverse_rendering_recovers_roughness():
     recovered = float(get_param(out_scene, key))
     assert losses[-1] < losses[0] * 0.5, f"loss did not decrease: {losses[:3]}...{losses[-3:]}"
     assert abs(recovered - 7.0) < 1.5, f"recovered impedance {recovered} != 7.0"
+
+
+def test_inverse_rendering_recovers_roughness():
+    """Roughness recovery — the parameter the reference's FD loop optimized
+    (USMain.py:262-289, key 'shape.bsdf.roughness'), here with exact
+    jax.grad through the acquisition."""
+    from tpu_rt.integrator.ultrasound import simulate_acquisition
+    from tpu_rt.opt.inverse import get_param, optimize, set_param
+
+    scene = tpu_rt.load_dict(
+        {
+            "type": "scene",
+            "integrator": {
+                "type": "ultrasound_integrator",
+                "max_depth": 2,
+                "n_elements": 16,
+                "time_samples": 600,
+                "pitch": 0.0005,
+                "angles": np.asarray([-5.0, 5.0], np.float32),
+            },
+            "sensor": {
+                "type": "ultrasound_sensor",
+                "num_elements_lateral": 16,
+                "pitch": 0.0005,
+                "radius": float("inf"),
+                "to_world": tpu_rt.ScalarTransform4f(),
+            },
+            "plate": {
+                "type": "rectangle",
+                "to_world": tpu_rt.ScalarTransform4f().translate([0, 0, 0.008])
+                @ tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+                @ tpu_rt.ScalarTransform4f().scale([0.02, 0.02, 1]),
+                "bsdf": {
+                    "type": "ultrasound_bsdf",
+                    "impedance": 7.8,
+                    "roughness": 0.1,  # initial guess (USMain.py:276)
+                },
+            },
+        }
+    )
+    key = "plate.bsdf.roughness"
+    target_scene = set_param(scene, key, 0.7)
+    ch_target, _ = simulate_acquisition(target_scene, seed=0, rays_per_pair=8)
+
+    def loss_fn(sc):
+        ch, _ = simulate_acquisition(sc, seed=0, rays_per_pair=8)
+        return jnp.mean((ch - ch_target) ** 2) * 1e6
+
+    out_scene, losses = optimize(
+        scene, [key], loss_fn, n_iters=25, lr=2e-2, bounds=(1e-4, 1.0)
+    )
+    recovered = float(get_param(out_scene, key))
+    assert losses[-1] < losses[0] * 0.7, f"loss: {losses[0]:.3g}->{losses[-1]:.3g}"
+    assert abs(recovered - 0.7) < 0.25, f"recovered roughness {recovered} != 0.7"

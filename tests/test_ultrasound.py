@@ -172,6 +172,41 @@ def test_hilbert_envelope_of_tone():
     np.testing.assert_allclose(env[mask], expected[mask], rtol=0.06)
 
 
+def test_ultraspy_facade_pipeline():
+    """build_probe / GridScan / DelayAndSum port of the USMain.py pipeline
+    (USMain.py:126-219): angles recovered from the delay matrix, peak at the
+    plate depth."""
+    from tpu_rt.us import DelayAndSum, GridScan, build_probe
+
+    scene = _scene(
+        {
+            "plate": {
+                "type": "rectangle",
+                "to_world": tpu_rt.ScalarTransform4f().translate([0, 0, 0.02])
+                @ tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+                @ tpu_rt.ScalarTransform4f().scale([0.03, 0.03, 1]),
+                "bsdf": {"type": "ultrasound_bsdf", "impedance": 7.8, "roughness": 0.5},
+            }
+        },
+        n_elements=32, time_samples=2000, angles=(-10.0, 0.0, 10.0),
+        max_depth=2, pitch=0.0004,
+    )
+    ch, tx = simulate_acquisition(scene, seed=0, rays_per_pair=4)
+    probe = build_probe("linear", nb_elements=32, pitch=0.0004, central_freq=5e6)
+    bf = DelayAndSum(on_gpu=False).automatic_setup(
+        {"sampling_freq": 50e6, "t0": 0, "delays": np.asarray(tx),
+         "sound_speed": 1540.0},
+        probe,
+    )
+    np.testing.assert_allclose(bf.angles_deg, [-10, 0, 10], atol=0.1)
+    z = np.arange(0.005, 0.03, 1e-4)
+    scan = GridScan(np.arange(-0.01, 0.01, 2e-4), z)
+    out = bf.beamform(ch, scan)
+    env = np.asarray(bf.compute_envelope(out, scan))
+    zi = np.unravel_index(np.argmax(env), env.shape)[1]
+    assert abs(z[zi] - 0.02) < 0.001
+
+
 def test_sphere_box_scene_acquisition(ref_us_scenes):
     """Sphere_Box.xml runs end to end and produces echoes (BASELINE.json
     config 1)."""

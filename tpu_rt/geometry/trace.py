@@ -73,31 +73,38 @@ class Interaction:
 # Per-prim intersection helpers
 # ---------------------------------------------------------------------------
 
+_INTERSECTORS = {
+    SPHERE: isect.ray_sphere,
+    RECTANGLE: isect.ray_rectangle,
+    DISK: isect.ray_disk,
+    CYLINDER: isect.ray_cylinder,
+    CONE: isect.ray_cone,
+}
+
+
+def _analytic_sweep(geom: Geometry, atype, oo, od, tmin, tmax):
+    """Evaluate only the intersectors for analytic types actually present
+    (static dispatch via geom.analytic_types)."""
+    present = geom.analytic_types or tuple(_INTERSECTORS)
+    t = jnp.full(jnp.broadcast_shapes(atype.shape, oo.shape[:-1]), INF)
+    u = jnp.zeros_like(t)
+    v = jnp.zeros_like(t)
+    for code in present:
+        t_i, u_i, v_i = _INTERSECTORS[code](oo, od, tmin, tmax)
+        m = atype == code
+        t = jnp.where(m, t_i, t)
+        u = jnp.where(m, u_i, u)
+        v = jnp.where(m, v_i, v)
+    return t, u, v
+
+
 def _intersect_analytic(geom: Geometry, aid, o, d, tmin, tmax):
     """Intersect rays with analytic prim index ``aid`` (scalar or [N])."""
     m = geom.an_to_object[aid]
     oo = transform_point(m, o)
     od = transform_vector(m, d)  # NOT normalized: preserves the t parameter
     atype = geom.an_type[aid]
-
-    t_s, u_s, v_s = isect.ray_sphere(oo, od, tmin, tmax)
-    t_r, u_r, v_r = isect.ray_rectangle(oo, od, tmin, tmax)
-    t_d, u_d, v_d = isect.ray_disk(oo, od, tmin, tmax)
-    t_c, u_c, v_c = isect.ray_cylinder(oo, od, tmin, tmax)
-    t_k, u_k, v_k = isect.ray_cone(oo, od, tmin, tmax)
-
-    def sel(s, r, dk, c, k):
-        out = jnp.where(atype == SPHERE, s, INF if s is None else s)
-        out = jnp.where(atype == RECTANGLE, r, out)
-        out = jnp.where(atype == DISK, dk, out)
-        out = jnp.where(atype == CYLINDER, c, out)
-        out = jnp.where(atype == CONE, k, out)
-        return out
-
-    t = sel(t_s, t_r, t_d, t_c, t_k)
-    u = sel(u_s, u_r, u_d, u_c, u_k)
-    v = sel(v_s, v_r, v_d, v_c, v_k)
-    return t, u, v
+    return _analytic_sweep(geom, atype, oo, od, tmin, tmax)
 
 
 def _intersect_prim(geom: Geometry, pid, o, d, tmin, tmax):
@@ -155,25 +162,12 @@ def _trace_bruteforce(geom: Geometry, o, d, tmin, tmax) -> Hit:
         trans = geom.an_to_object[:, :3, 3]  # [A, 3]
         oo = jnp.einsum("apq,nq->nap", rot, o.reshape(-1, 3)) + trans[None]
         od = jnp.einsum("apq,nq->nap", rot, d.reshape(-1, 3))
-        atype = geom.an_type[None, :]
-
-        t_s, u_s, v_s = isect.ray_sphere(oo, od, tmin_b, tmax_b)
-        t_r, u_r, v_r = isect.ray_rectangle(oo, od, tmin_b, tmax_b)
-        t_d, u_d, v_d = isect.ray_disk(oo, od, tmin_b, tmax_b)
-        t_c, u_c, v_c = isect.ray_cylinder(oo, od, tmin_b, tmax_b)
-        t_k, u_k, v_k = isect.ray_cone(oo, od, tmin_b, tmax_b)
-
-        def sel(s, r, dk, c, k):
-            out = jnp.where(atype == SPHERE, s, INF)
-            out = jnp.where(atype == RECTANGLE, r, out)
-            out = jnp.where(atype == DISK, dk, out)
-            out = jnp.where(atype == CYLINDER, c, out)
-            out = jnp.where(atype == CONE, k, out)
-            return out
-
-        ts.append(sel(t_s, t_r, t_d, t_c, t_k))
-        us.append(sel(u_s, u_r, u_d, u_c, u_k))
-        vs.append(sel(v_s, v_r, v_d, v_c, v_k))
+        t_a, u_a, v_a = _analytic_sweep(
+            geom, geom.an_type[None, :], oo, od, tmin_b, tmax_b
+        )
+        ts.append(t_a)
+        us.append(u_a)
+        vs.append(v_a)
 
     t_all = jnp.concatenate(ts, axis=1)  # [N, P]
     u_all = jnp.concatenate(us, axis=1)

@@ -195,14 +195,27 @@ def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
     H, W = c.height, c.width
     spp_per_pass = max(1, min(spp_per_pass, spp))
 
+    xy_int = jnp.stack(
+        jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), axis=-1
+    ).reshape(-1, 2).astype(jnp.float32)
+
     @partial(jax.jit, static_argnames=("n_keys",))
     def passes(film_vals, film_wts, keys, n_keys):
         def one(carry, key):
             fv, fw, acc = carry
-            film_xy, L, n_rays = render_sample_batch(scene, key, max_depth=max_depth)
+            k_jit, k_path = jax.random.split(key)
+            jitter = jax.random.uniform(k_jit, (H * W, 2))
+            o, d = cam.sample_ray(c, xy_int + jitter)
+            L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth)
             ok = jnp.all(jnp.isfinite(L), axis=-1)
-            L = jnp.where(ok[:, None], L, 0.0)
-            fv, fw = film_mod.splat(fv, fw, film_xy, L, ok, c.filter_type)
+            # pixel-aligned sample pattern -> scatter-free dense splat
+            fv, fw = film_mod.splat_aligned(
+                fv, fw,
+                jitter.reshape(H, W, 2),
+                L.reshape(H, W, 3),
+                ok.reshape(H, W),
+                c.filter_type,
+            )
             return (fv, fw, acc + n_rays), None
 
         (fv, fw, acc), _ = jax.lax.scan(

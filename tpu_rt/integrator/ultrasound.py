@@ -48,7 +48,8 @@ from tpu_rt.scene.types import BSDF_ULTRASOUND, Scene
 from tpu_rt.sensor.transducer import plane_wave_rays
 
 
-def simulate_acquisition(scene: Scene, seed=0, rays_per_pair=1, jitter_elements=False):
+def simulate_acquisition(scene: Scene, seed=0, rays_per_pair=1,
+                         jitter_elements=False, deposit_sin=True):
     """Run the acoustic acquisition.
 
     Args:
@@ -57,6 +58,10 @@ def simulate_acquisition(scene: Scene, seed=0, rays_per_pair=1, jitter_elements=
       rays_per_pair: samples per (angle, element) pair (1 matches the
         reference; more reduces variance on TPU where lanes are cheap).
       jitter_elements: jitter ray origins within the element aperture.
+      deposit_sin: True (reference behavior, CustomIntegrator.py:187)
+        deposits atten*amp*fd*sin(phase) instantaneously; False deposits the
+        amplitude impulse so tpu_rt.us.beamform.apply_pulse can convolve the
+        UltraRay Eq. 14 excitation pulse afterwards.
     Returns:
       channel_buf [n_angles, n_elements, time_samples] float32,
       tx_delays [n_angles, n_elements] float32.
@@ -180,7 +185,8 @@ def simulate_acquisition(scene: Scene, seed=0, rays_per_pair=1, jitter_elements=
         amp = st["amp"] * jnp.where(hit, bs.amplitude * cos_theta, 1.0)
 
         fd = rx_directivity(sec_dir) * (cos_theta / num_rays)
-        pressure = atten * amp * fd * jnp.sin(phase)
+        carrier = jnp.sin(phase) if deposit_sin else 1.0
+        pressure = atten * amp * fd * carrier
 
         # Differentiable linear-interpolation deposit over the time axis.
         t_f = total_time * us.sampling_rate

@@ -455,6 +455,7 @@ class _Builder:
             prim_order=jnp.asarray(bvh["prim_order"]),
             n_tris=n_tris,
             n_analytic=n_an,
+            analytic_types=tuple(sorted(set(int(t) for t in self.an["type"]))),
         )
 
         emitters = self._build_emitters(tri_p0, cat("e1", 3), cat("e2", 3))

@@ -108,6 +108,9 @@ class Geometry:
 
     n_tris: int = flax.struct.field(pytree_node=False, default=0)
     n_analytic: int = flax.struct.field(pytree_node=False, default=0)
+    # Static set of analytic shape types present — lets the tracer skip
+    # intersectors for absent types at compile time.
+    analytic_types: tuple = flax.struct.field(pytree_node=False, default=())
 
 
 @flax.struct.dataclass

@@ -64,6 +64,51 @@ def splat(film_vals, film_wts, film_xy, values, active, filter_type: int):
     return film_vals, film_wts
 
 
+def splat_aligned(film_vals, film_wts, jitter, values, active, filter_type: int):
+    """Scatter-free splat for the pixel-aligned sample pattern (exactly one
+    sample per pixel at pixel + jitter, jitter in [0,1)^2).
+
+    Each footprint cell (dx, dy) becomes a DENSE shifted add of the whole
+    sample image — TPU-friendly (no scatter serialization).  Numerically
+    identical to ``splat`` for film_xy = grid + jitter.
+
+    Args:
+      jitter: [H, W, 2]; values: [H, W, C]; active: [H, W].
+    """
+    H, W = film_wts.shape
+    k = _FOOTPRINT[filter_type]
+    x = jitter[..., 0]  # position within the pixel
+    y = jitter[..., 1]
+    # Footprint offsets relative to the sample's own pixel: with jitter in
+    # [0,1) a radius-k/2 filter can touch cells -k//2 .. +k//2 (one of the
+    # edge cells gets zero weight for any given jitter — the dense form
+    # evaluates it anyway, which is still far cheaper than a scatter).
+    offsets = range(-(k // 2), k // 2 + 1)
+    vals = jnp.where(active[..., None], values, 0.0)
+    for dy in offsets:
+        wy = filter_weight(filter_type, (dy + 0.5) - y)
+        for dx in offsets:
+            wx = filter_weight(filter_type, (dx + 0.5) - x)
+            w = jnp.where(active, wx * wy, 0.0)
+            # shift the sample plane by (dy, dx) and add
+            wv = w[..., None] * vals
+            film_vals = _shift_add(film_vals, wv, dy, dx)
+            film_wts = _shift_add(film_wts, w, dy, dx)
+    return film_vals, film_wts
+
+
+def _shift_add(acc, img, dy, dx):
+    """acc[p + (dy,dx)] += img[p] as a dense slice-add."""
+    H, W = acc.shape[0], acc.shape[1]
+    ys_a, ye_a = max(dy, 0), H + min(dy, 0)
+    ys_i, ye_i = max(-dy, 0), H + min(-dy, 0)
+    xs_a, xe_a = max(dx, 0), W + min(dx, 0)
+    xs_i, xe_i = max(-dx, 0), W + min(-dx, 0)
+    if ys_a >= ye_a or xs_a >= xe_a:
+        return acc
+    return acc.at[ys_a:ye_a, xs_a:xe_a].add(img[ys_i:ye_i, xs_i:xe_i])
+
+
 def develop(film_vals, film_wts):
     """Normalize accumulated samples by filter weights."""
     return film_vals / jnp.maximum(film_wts[..., None], 1e-12)

@@ -78,6 +78,38 @@ def das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
     return out.reshape(X.shape)
 
 
+def pulse_kernel(fs, f0, wave_cycles=5, dtype=jnp.float32):
+    """Gaussian-enveloped sinusoid excitation pulse — the reference's
+    'Pulse model (UltraRay Eq. 14)' (/root/reference/RayTracingV0.py:195-199)
+    parameterized by the integrator's ``wave_cycles`` prop
+    (CustomIntegrator.py:20).  Duration = wave_cycles / f0; the Gaussian
+    std is chosen so the envelope decays to ~1% at the ends."""
+    import numpy as np
+
+    duration = wave_cycles / f0
+    n = max(int(round(duration * fs)) | 1, 3)  # odd length
+    t = (np.arange(n) - n // 2) / fs
+    sigma = duration / 6.0
+    kernel = np.sin(2 * np.pi * f0 * t) * np.exp(-0.5 * (t / sigma) ** 2)
+    return jnp.asarray(kernel, dtype)
+
+
+def apply_pulse(channel_data, fs, f0, wave_cycles=5):
+    """Convolve impulse RF data with the excitation pulse along the time
+    axis (FFT-based, 'same' alignment).  Use with acquisition run in
+    amplitude-impulse mode (deposit_sin=False) to get physically-shaped
+    echoes instead of instantaneous sin(phase) samples."""
+    A, E, T = channel_data.shape
+    k = pulse_kernel(fs, f0, wave_cycles)
+    n = int(k.shape[0])
+    nfft = 1 << (T + n - 2).bit_length()
+    Xf = jnp.fft.rfft(channel_data, nfft, axis=-1)
+    Kf = jnp.fft.rfft(k, nfft)
+    y = jnp.fft.irfft(Xf * Kf, nfft, axis=-1)
+    start = n // 2
+    return y[..., start : start + T].astype(channel_data.dtype)
+
+
 def hilbert_envelope(img, axis=-1):
     """Envelope via the analytic signal (Hilbert transform along ``axis``),
     equivalent of ultraspy compute_envelope (USMain.py:208)."""
