@@ -107,6 +107,9 @@ def load_exr(path):
         def decomp(d, n):
             return _unpredict_deinterleave(zlib.decompress(d)) if len(d) < n else d
 
+    elif comp == 4:  # PIZ (wavelet + Huffman)
+        lines_per_block = 32
+        decomp = None
     else:
         raise NotImplementedError(f"{path}: EXR compression {comp} not supported")
 
@@ -119,6 +122,27 @@ def load_exr(path):
         y, size = struct.unpack_from("<ii", buf, o)
         data = buf[o + 8 : o + 8 + size]
         rows = min(lines_per_block, H - (y - ymin))
+        if comp == 4:
+            from tpu_rt.scene.piz import piz_uncompress
+
+            planes = piz_uncompress(data, W, rows, chans)
+            for ci, (name, pt) in enumerate(chans):
+                u16 = np.ascontiguousarray(planes[ci])
+                if pt == 1:  # HALF
+                    vals = u16.view(np.float16).astype(np.float32)
+                elif pt == 2:  # FLOAT: u16 pairs -> f32
+                    vals = u16.reshape(rows, W, 2).view(np.uint16).copy().view(
+                        np.float32
+                    )[..., 0]
+                else:  # UINT
+                    vals = (
+                        u16.reshape(rows, W, 2)
+                        .copy()
+                        .view(np.uint32)[..., 0]
+                        .astype(np.float32)
+                    )
+                img[name][y - ymin : y - ymin + rows] = vals
+            continue
         raw = decomp(data, rows * line_bytes)
         pos = 0
         for r in range(rows):
