@@ -37,8 +37,10 @@ def _resolved_depth(scene: Scene, max_depth=None):
     return min(d, _MAX_DEPTH_CAP)
 
 
-def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None):
-    """Trace paths for rays (o, d) [N, 3]; returns radiance L [N, 3].
+def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
+               return_occupancy=False):
+    """Trace paths for rays (o, d) [N, 3]; returns (L [N, 3], n_rays)
+    (+ per-bounce active-lane counts when ``return_occupancy``).
 
     ``max_depth`` counts path vertices like Mitsuba: max_depth=1 sees only
     directly visible emitters, 2 = direct illumination, etc.
@@ -160,11 +162,15 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None):
             prev_delta=bs.delta,
             n_rays=n_rays,
         )
-        return new_state, None
+        # per-bounce occupancy (SURVEY.md §5 metrics: active-ray occupancy
+        # after each bounce) — a cheap reduction the scan stacks for free
+        return new_state, jnp.sum(alive.astype(jnp.int32))
 
     keys = jax.random.split(key, depth_cap)
     depths = jnp.arange(depth_cap)
-    state, _ = jax.lax.scan(bounce, state, (depths, keys))
+    state, occupancy = jax.lax.scan(bounce, state, (depths, keys))
+    if return_occupancy:
+        return state["L"], state["n_rays"], occupancy
     return state["L"], state["n_rays"]
 
 

@@ -109,12 +109,15 @@ def set_param(scene: Scene, key: str, value) -> Scene:
 
 
 def optimize(scene: Scene, keys, loss_fn, n_iters=25, lr=2e-2,
-             bounds=(1e-4, 1.0), verbose=False):
+             bounds=(1e-4, 1.0), verbose=False, checkpoint_path=None,
+             checkpoint_every=5):
     """Adam-optimize scene parameters against ``loss_fn(scene) -> scalar``.
 
     The jax.grad realization of the loop the reference ran with finite
     differences (USMain.py:276-298; lr 2e-2 / 25 iters / clip to [1e-4, 1]
-    are its defaults).
+    are its defaults).  With ``checkpoint_path`` set, state is saved every
+    ``checkpoint_every`` iterations and the loop resumes from an existing
+    checkpoint (SURVEY.md §5 checkpoint/resume row).
     Returns (optimized scene, list of losses).
     """
     params0 = {k: jnp.asarray(get_param(scene, k), jnp.float32) for k in keys}
@@ -139,10 +142,19 @@ def optimize(scene: Scene, keys, loss_fn, n_iters=25, lr=2e-2,
     opt_state = optimizer.init(params0)
     params = params0
     losses = []
-    for it in range(n_iters):
+    start = 0
+    if checkpoint_path:
+        from tpu_rt.opt.checkpoint import load_checkpoint, save_checkpoint
+
+        ckpt = load_checkpoint(checkpoint_path)
+        if ckpt is not None:
+            params, opt_state, losses, start = ckpt
+    for it in range(start, n_iters):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
         if verbose:
             vals = {k: float(jnp.ravel(v)[0]) for k, v in params.items()}
             print(f"iter {it}: loss={losses[-1]:.4g} {vals}")
+        if checkpoint_path and ((it + 1) % checkpoint_every == 0 or it + 1 == n_iters):
+            save_checkpoint(checkpoint_path, params, opt_state, losses, it + 1)
     return apply(scene, params), losses
