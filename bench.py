@@ -19,6 +19,7 @@ def main():
 
     import tpu_rt
     from tpu_rt.integrator.path import render
+    from tpu_rt.ops.pallas_path import bake_scene, render_pallas
 
     res = int(os.environ.get("BENCH_RES", "512"))
     spp = int(os.environ.get("BENCH_SPP", "256"))
@@ -27,15 +28,29 @@ def main():
 
     scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=res, spp=spp)
 
-    # Warmup / compile with the same compiled shape as the timed run.
-    img = render(scene, spp=warmup, seed=123, spp_per_pass=spp_per_pass)
-    jax.block_until_ready(img)
+    # Prefer the pallas megakernel (tpu_rt/ops/pallas_path.py) when the scene
+    # fits its scope; fall back to the XLA wavefront renderer.
+    use_pallas = bake_scene(scene) is not None and os.environ.get(
+        "BENCH_NO_PALLAS", ""
+    ) != "1"
 
-    t0 = time.perf_counter()
-    img = render(scene, spp=spp, seed=0, spp_per_pass=spp_per_pass)
-    jax.block_until_ready(img)
-    dt = time.perf_counter() - t0
-    total_rays = render.last_ray_count
+    if use_pallas:
+        img = render_pallas(scene, spp=warmup, seed=123)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        img = render_pallas(scene, spp=spp, seed=0)
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        total_rays = render_pallas.last_ray_count
+    else:
+        # Warmup / compile with the same compiled shape as the timed run.
+        img = render(scene, spp=warmup, seed=123, spp_per_pass=spp_per_pass)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        img = render(scene, spp=spp, seed=0, spp_per_pass=spp_per_pass)
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        total_rays = render.last_ray_count
 
     rays_per_sec = total_rays / dt
     print(

@@ -141,20 +141,44 @@ def inverse(m):
 
 
 # Device-side application ----------------------------------------------------
+#
+# NOTE: geometry transforms must run in full f32.  On TPU, einsum/matmul on
+# f32 inputs defaults to bf16 MXU passes (jax_default_matmul_precision),
+# which quantizes hit points to ~3 decimal digits and causes spurious
+# shadow-ray self-occlusion (observed: floors losing half their direct
+# light).  Explicit multiply-add keeps the math on the VPU in f32 — and is
+# faster than MXU dispatch for 3x3 anyway.
 
 def transform_point(m, p):
     """Apply 4x4 ``m`` (..., 4, 4) to points ``p`` (..., 3)."""
-    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
-    return r
+    r = m[..., :3, :3]
+    return vec3(
+        r[..., 0, 0] * p[..., 0] + r[..., 0, 1] * p[..., 1] + r[..., 0, 2] * p[..., 2]
+        + m[..., 0, 3],
+        r[..., 1, 0] * p[..., 0] + r[..., 1, 1] * p[..., 1] + r[..., 1, 2] * p[..., 2]
+        + m[..., 1, 3],
+        r[..., 2, 0] * p[..., 0] + r[..., 2, 1] * p[..., 1] + r[..., 2, 2] * p[..., 2]
+        + m[..., 2, 3],
+    )
 
 
 def transform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    r = m[..., :3, :3]
+    return vec3(
+        r[..., 0, 0] * v[..., 0] + r[..., 0, 1] * v[..., 1] + r[..., 0, 2] * v[..., 2],
+        r[..., 1, 0] * v[..., 0] + r[..., 1, 1] * v[..., 1] + r[..., 1, 2] * v[..., 2],
+        r[..., 2, 0] * v[..., 0] + r[..., 2, 1] * v[..., 1] + r[..., 2, 2] * v[..., 2],
+    )
 
 
 def transform_normal(m_inv, n):
     """Transform a normal given the INVERSE of the forward matrix."""
-    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+    r = m_inv[..., :3, :3]
+    return vec3(
+        r[..., 0, 0] * n[..., 0] + r[..., 1, 0] * n[..., 1] + r[..., 2, 0] * n[..., 2],
+        r[..., 0, 1] * n[..., 0] + r[..., 1, 1] * n[..., 1] + r[..., 2, 1] * n[..., 2],
+        r[..., 0, 2] * n[..., 0] + r[..., 1, 2] * n[..., 1] + r[..., 2, 2] * n[..., 2],
+    )
 
 
 # ---------------------------------------------------------------------------

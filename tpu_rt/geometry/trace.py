@@ -160,8 +160,12 @@ def _trace_bruteforce(geom: Geometry, o, d, tmin, tmax) -> Hit:
     if geom.n_analytic > 0:
         rot = geom.an_to_object[:, :3, :3]  # [A, 3, 3]
         trans = geom.an_to_object[:, :3, 3]  # [A, 3]
-        oo = jnp.einsum("apq,nq->nap", rot, o.reshape(-1, 3)) + trans[None]
-        od = jnp.einsum("apq,nq->nap", rot, d.reshape(-1, 3))
+        # full-f32 matvec (einsum would take the bf16 MXU path on TPU and
+        # quantize ray geometry — see core.math.transform_point note)
+        o_f = o.reshape(-1, 1, 1, 3)
+        d_f = d.reshape(-1, 1, 1, 3)
+        oo = jnp.sum(rot[None] * o_f, axis=-1) + trans[None]
+        od = jnp.sum(rot[None] * d_f, axis=-1)
         t_a, u_a, v_a = _analytic_sweep(
             geom, geom.an_type[None, :], oo, od, tmin_b, tmax_b
         )
@@ -320,7 +324,15 @@ def compute_interaction(scene, o, d, hit: Hit) -> Interaction:
             ),
         )
         # normals transform by (M_obj)^T (inverse-transpose of to_world)
-        ng_a = normalize(jnp.einsum("...ji,...j->...i", m_obj[..., :3, :3], n_obj))
+        r3 = m_obj[..., :3, :3]
+        ng_a = normalize(jnp.stack([
+            r3[..., 0, 0] * n_obj[..., 0] + r3[..., 1, 0] * n_obj[..., 1]
+            + r3[..., 2, 0] * n_obj[..., 2],
+            r3[..., 0, 1] * n_obj[..., 0] + r3[..., 1, 1] * n_obj[..., 1]
+            + r3[..., 2, 1] * n_obj[..., 2],
+            r3[..., 0, 2] * n_obj[..., 0] + r3[..., 1, 2] * n_obj[..., 1]
+            + r3[..., 2, 2] * n_obj[..., 2],
+        ], axis=-1))
         # uv for spheres from spherical coords; others use intersector (u, v)
         p_obj_len = jnp.sqrt(jnp.maximum(jnp.sum(p_obj * p_obj, -1), 1e-24))
         theta = jnp.arccos(jnp.clip(p_obj[..., 2] / p_obj_len, -0.999999, 0.999999))

@@ -52,7 +52,8 @@ _MAX_DEPTH_CAP = 16
 
 
 def _matmul(a, b):
-    return jnp.einsum("...ij,...jk->...ik", a, b)
+    return jnp.einsum("...ij,...jk->...ik", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _interaction_mueller(scene, b_type, b_params, si, wi_local, wo_local,
