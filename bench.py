@@ -53,13 +53,44 @@ def main():
         total_rays = render.last_ray_count
 
     rays_per_sec = total_rays / dt
+
+    # Image-accuracy half of the metric: relative RMSE of a TPU render vs
+    # the committed CPU golden (tests/golden/cbox_128_cpu.npy, itself
+    # cross-validated against an independent quadrature renderer).
+    rel_rmse = None
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden", "cbox_128_cpu.npy")
+    if os.path.exists(golden_path):
+        import numpy as np
+
+        golden = np.load(golden_path)
+        scene128 = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=128, spp=1)
+        if use_pallas:
+            img128 = np.asarray(render_pallas(scene128, spp=2048, seed=9))
+        else:
+            img128 = np.asarray(render(scene128, spp=512, seed=9))
+
+        # Compare 8x8 block averages: per-pixel MC noise (present in BOTH
+        # finite-spp renders) divides by 8, so this measures transport bias
+        # rather than sampling noise.
+        def down(x):
+            return x.reshape(16, 8, 16, 8, 3).mean(axis=(1, 3))
+
+        g8, i8 = down(golden), down(img128)
+        rel_rmse = float(np.sqrt(((i8 - g8) ** 2).mean()) / max(g8.mean(), 1e-9))
+
     print(
         json.dumps(
             {
-                "metric": f"cbox {res}^2 {spp}spp path-tracing throughput (1 chip)",
+                "metric": (
+                    f"cbox {res}^2 {spp}spp path-tracing throughput (1 chip); "
+                    "rel-RMSE vs CPU golden at 128^2"
+                ),
                 "value": rays_per_sec,
                 "unit": "rays/sec",
                 "vs_baseline": rays_per_sec / 1e9,
+                "rel_rmse_vs_cpu_golden": rel_rmse,
+                "renderer": "pallas-megakernel" if use_pallas else "xla-wavefront",
             }
         )
     )

@@ -103,9 +103,16 @@ def test_mesh_bvh_vs_bruteforce(ref_scenes):
 
     hit_bvh = trace._trace_bvh(geom, o, d, 1e-4, jnp.inf)
     hit_bf = trace._trace_bruteforce(geom, o, d, 1e-4, jnp.inf)
+    hit_ck = trace._trace_chunked(geom, o, d, 1e-4, jnp.inf)
     np.testing.assert_array_equal(np.asarray(hit_bvh.prim), np.asarray(hit_bf.prim))
+    np.testing.assert_array_equal(np.asarray(hit_ck.prim), np.asarray(hit_bf.prim))
     np.testing.assert_allclose(
         np.asarray(hit_bvh.t)[np.asarray(hit_bvh.prim) >= 0],
+        np.asarray(hit_bf.t)[np.asarray(hit_bf.prim) >= 0],
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit_ck.t)[np.asarray(hit_ck.prim) >= 0],
         np.asarray(hit_bf.t)[np.asarray(hit_bf.prim) >= 0],
         rtol=1e-5,
     )
