@@ -198,3 +198,54 @@ def test_vol_loader(ref_scenes):
     vol = load_vol(os.path.join(ref_scenes, "..", "scenes", "volume.vol"))
     assert vol["shape"] == (44, 45, 53, 1)
     assert vol["data"].shape == (53, 45, 44, 1)
+
+
+def test_compat_api_usmain_flow():
+    """Reference-script port surface (tpu_rt.compat): register_* shims,
+    scene_integrator().simulate_acquisition_parallel(), traverse()/update()
+    — the USMain.py call shapes (USMain.py:14-24,95-99,259-266)."""
+    import tpu_rt.compat as compat
+
+    compat.register_integrator("ultrasound_integrator")
+    compat.register_bsdf("ultrasound_bsdf")
+    scene = tpu_rt.load_dict(
+        {
+            "type": "scene",
+            "integrator": {
+                "type": "ultrasound_integrator",
+                "max_depth": 2,
+                "n_elements": 8,
+                "time_samples": 600,
+                "pitch": 0.0004,
+                "angles": np.asarray([0.0], np.float32),
+            },
+            "sensor": {
+                "type": "ultrasound_sensor",
+                "num_elements_lateral": 8,
+                "pitch": 0.0004,
+                "radius": float("inf"),
+                "to_world": ScalarTransform4f(),
+            },
+            "flat_plate": {
+                "type": "rectangle",
+                "to_world": ScalarTransform4f().translate([0, 0, 0.005])
+                @ ScalarTransform4f().rotate([0, 1, 0], 180)
+                @ ScalarTransform4f().scale([0.01, 0.01, 1]),
+                "bsdf": {"type": "ultrasound_bsdf", "impedance": 7.8, "roughness": 0.7},
+            },
+        }
+    )
+    integrator = compat.scene_integrator(scene)
+    assert integrator.n_elements == 8 and integrator.fs == 50e6
+    assert integrator.simulate_acquisition_parallel() is True
+    assert integrator.channel_buf.shape == (1, 8, 600)
+    assert abs(integrator.channel_buf).sum() > 0
+    assert integrator.transmission_delays_buf.shape == (1, 8)
+
+    params = compat.traverse(scene)
+    assert "flat_plate.bsdf.roughness" in params
+    params["flat_plate.bsdf.roughness"] = 0.3
+    sc2 = params.update()
+    from tpu_rt.opt.inverse import get_param
+
+    assert abs(float(get_param(sc2, "flat_plate.bsdf.roughness")) - 0.3) < 1e-6
