@@ -219,3 +219,19 @@ def test_sphere_box_scene_acquisition(ref_us_scenes):
     assert ch.shape == (5, 64, 10000)
     assert np.isfinite(ch).all()
     assert np.abs(ch).sum() > 0
+
+
+def test_das_matmul_matches_gather():
+    """The MXU-windowed DAS must reproduce the gather formulation."""
+    import jax
+
+    from tpu_rt.us.beamform import das_beamform, das_beamform_matmul, grid_scan
+
+    A, E, T = 3, 16, 3000
+    ch = jax.random.normal(jax.random.PRNGKey(0), (A, E, T))
+    angles = np.linspace(-10, 10, A).astype(np.float32)
+    elem_x = 0.0004 * (np.arange(E) - (E - 1) / 2)
+    xg, zg = grid_scan(-0.01, 0.01, 0.005, 0.04, 2e-4, 1e-4)
+    a = np.asarray(das_beamform(ch, angles, elem_x, 50e6, 1540.0, xg, zg))
+    b = np.asarray(das_beamform_matmul(ch, angles, elem_x, 50e6, 1540.0, xg, zg))
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-9) < 1e-3

@@ -55,23 +55,42 @@ def das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
 
     inv_c = 1.0 / c
 
+    # Chunk elements so each step is a wide (P, CHUNK) gather instead of a
+    # long sequential per-element scan (TPU wants few, fat steps).
+    E_CHUNK = min(16, E)
+    pad_e = (-E) % E_CHUNK
+    rf_all = channel_data
+    elem_x_p = jnp.concatenate([elem_x, jnp.zeros((pad_e,), elem_x.dtype)])
+    if pad_e:
+        rf_all = jnp.concatenate(
+            [rf_all, jnp.zeros((A, pad_e, T), rf_all.dtype)], axis=1
+        )
+    n_chunks = (E + pad_e) // E_CHUNK
+    rf_chunks = rf_all.reshape(A, n_chunks, E_CHUNK, T)
+    ex_chunks = elem_x_p.reshape(n_chunks, E_CHUNK)
+
     def one_angle(acc, a_idx):
         t_tx = (px * jnp.sin(angles[a_idx]) + pz * jnp.cos(angles[a_idx])) * inv_c
 
-        def one_elem(acc_e, e_idx):
-            t_rx = jnp.sqrt((px - elem_x[e_idx]) ** 2 + pz**2) * inv_c
-            t_f = (t_tx + t_rx - t_offset) * fs
+        def one_chunk(acc_e, c_idx):
+            ex = ex_chunks[c_idx]  # [C]
+            t_rx = jnp.sqrt((px[:, None] - ex[None, :]) ** 2 + pz[:, None] ** 2) * inv_c
+            t_f = (t_tx[:, None] + t_rx - t_offset) * fs  # [P, C]
             i0 = jnp.floor(t_f)
             w = t_f - i0
             i0 = i0.astype(jnp.int32)
-            rf = channel_data[a_idx, e_idx]
-            v0 = jnp.where((i0 >= 0) & (i0 < T), rf[jnp.clip(i0, 0, T - 1)], 0.0)
-            v1 = jnp.where(
-                (i0 + 1 >= 0) & (i0 + 1 < T), rf[jnp.clip(i0 + 1, 0, T - 1)], 0.0
-            )
-            return acc_e + v0 * (1.0 - w) + v1 * w, None
+            rf = rf_chunks[a_idx, c_idx]  # [C, T]
+            i0c = jnp.clip(i0, 0, T - 1).T  # [C, P]
+            i1c = jnp.clip(i0 + 1, 0, T - 1).T
+            v0 = jnp.take_along_axis(rf, i0c, axis=1).T  # [P, C]
+            v1 = jnp.take_along_axis(rf, i1c, axis=1).T
+            v0 = jnp.where((i0 >= 0) & (i0 < T), v0, 0.0)
+            v1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 < T), v1, 0.0)
+            return acc_e + (v0 * (1.0 - w) + v1 * w).sum(axis=1), None
 
-        acc_a, _ = jax.lax.scan(one_elem, jnp.zeros((P,), jnp.float32), jnp.arange(E))
+        acc_a, _ = jax.lax.scan(
+            one_chunk, jnp.zeros((P,), jnp.float32), jnp.arange(n_chunks)
+        )
         return acc + acc_a, None
 
     out, _ = jax.lax.scan(one_angle, jnp.zeros((P,), jnp.float32), jnp.arange(A))
@@ -110,6 +129,98 @@ def apply_pulse(channel_data, fs, f0, wave_cycles=5):
     return y[..., start : start + T].astype(channel_data.dtype)
 
 
+def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
+                        z_grid, t_offset=0.0, block=512, window=256):
+    """MXU-formulated DAS: random time-gathers (slow on TPU) become dense
+    interpolation-weight matmuls over per-block RF windows.
+
+    Pixels are tiled into blocks of ``block``; within a block the delay
+    spread is bounded, so each (angle, element, block) touches one
+    contiguous RF window of ``window`` samples.  The 2-tap linear interp
+    becomes a hat-function weight matrix (block, window) contracted with the
+    window — work the MXU does at full rate.  Falls back assertion-free:
+    windows are clamped into range and out-of-range pixels contribute 0.
+    """
+    channel_data = jnp.asarray(channel_data)
+    elem_x = jnp.asarray(elem_x)
+    A, E, T = channel_data.shape
+    angles = jnp.deg2rad(jnp.asarray(angles_deg))
+    Nx, Nz = x_grid.shape[0], z_grid.shape[0]
+
+    # 2-D pixel tiles (TX x TZ) bound the per-block delay spread so a
+    # ``window``-sample RF slice covers every pixel in the block.
+    TX, TZ = 8, max(block // 8, 1)
+    # size the window from the actual grid pitch (grids are host constants)
+    try:
+        dx = float(x_grid[1] - x_grid[0]) if Nx > 1 else 0.0
+        dz = float(z_grid[1] - z_grid[0]) if Nz > 1 else 0.0
+        spread = (2.0 * TZ * abs(dz) + 2.0 * TX * abs(dx)) / c * fs
+        needed = int(np.ceil(spread)) + 8
+        window = max(window, ((needed + 127) // 128) * 128)
+    except TypeError:
+        pass  # traced grids: trust the caller-provided window
+    pad_x = (-Nx) % TX
+    pad_z = (-Nz) % TZ
+    xg = jnp.concatenate([x_grid, jnp.zeros((pad_x,), jnp.float32)])
+    zg = jnp.concatenate([z_grid, jnp.full((pad_z,), 1e9, jnp.float32)])
+    X, Z = jnp.meshgrid(xg, zg, indexing="ij")  # [Nx+, Nz+]
+    nbx, nbz = (Nx + pad_x) // TX, (Nz + pad_z) // TZ
+
+    def tile(a):
+        return (
+            a.reshape(nbx, TX, nbz, TZ).transpose(0, 2, 1, 3).reshape(-1, TX * TZ)
+        )
+
+    pxb = tile(X)
+    pzb = tile(Z)
+    n_blk = pxb.shape[0]
+    block = TX * TZ
+    inv_c = 1.0 / c
+    iota_w = jnp.arange(window, dtype=jnp.float32)
+
+    def one_angle(acc, a_idx):
+        sin_a = jnp.sin(angles[a_idx])
+        cos_a = jnp.cos(angles[a_idx])
+        t_tx = (pxb * sin_a + pzb * cos_a) * inv_c  # [n_blk, block]
+
+        def one_elem(acc_e, e_idx):
+            t_rx = jnp.sqrt((pxb - elem_x[e_idx]) ** 2 + pzb**2) * inv_c
+            t_f = (t_tx + t_rx - t_offset) * fs  # [n_blk, block]
+            s = jnp.clip(
+                jnp.floor(jnp.min(t_f, axis=1)).astype(jnp.int32),
+                0, max(T - window, 0),
+            )  # [n_blk]
+            rel = t_f - s[:, None].astype(jnp.float32)  # [n_blk, block]
+            # hat weights: w[p, k] = max(0, 1 - |rel[p] - k|); zero outside
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, :, None] - iota_w))
+            in_rng = (t_f >= 0.0) & (t_f <= T - 1) & (rel <= window - 1)
+            w = jnp.where(in_rng[:, :, None], w, 0.0)
+            rf = channel_data[a_idx, e_idx]
+            wins = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(rf, (st,), (window,))
+            )(s)  # [n_blk, window]
+            vals = jnp.einsum(
+                "nbw,nw->nb", w, wins, precision=jax.lax.Precision.HIGHEST
+            )
+            return acc_e + vals, None
+
+        acc_a, _ = jax.lax.scan(
+            one_elem, jnp.zeros((n_blk, block), jnp.float32), jnp.arange(E)
+        )
+        return acc + acc_a, None
+
+    out, _ = jax.lax.scan(
+        one_angle, jnp.zeros((n_blk, block), jnp.float32), jnp.arange(A)
+    )
+    # un-tile back to the (Nx, Nz) grid
+    out = (
+        out.reshape(nbx, nbz, TX, TZ)
+        .transpose(0, 2, 1, 3)
+        .reshape(Nx + pad_x, Nz + pad_z)
+    )
+    return out[:Nx, :Nz]
+
+
 def hilbert_envelope(img, axis=-1):
     """Envelope via the analytic signal (Hilbert transform along ``axis``),
     equivalent of ultraspy compute_envelope (USMain.py:208)."""
@@ -138,10 +249,14 @@ def log_compress(envelope, dynamic_range=60.0):
 
 
 def bmode_pipeline(channel_data, angles_deg, elem_x, fs, c,
-                   x_grid, z_grid, dynamic_range=60.0):
+                   x_grid, z_grid, dynamic_range=60.0, method="matmul"):
     """channel data -> beamform -> envelope (axial) -> log compression.
-    Returns display image [Nz, Nx] (depth down, like USMain.py:224)."""
-    bf = das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid)
+    Returns display image [Nz, Nx] (depth down, like USMain.py:224).
+
+    ``method``: 'matmul' (MXU windowed-interpolation DAS, default) or
+    'gather' (reference formulation; used for cross-checks)."""
+    das = das_beamform_matmul if method == "matmul" else das_beamform
+    bf = das(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid)
     env = hilbert_envelope(bf, axis=1)  # axial (z) axis
     img = log_compress(env, dynamic_range)
     return img.T  # (z, x) a.k.a. display orientation
