@@ -16,3 +16,10 @@ device meshes.
 __version__ = "0.1.0"
 
 from tpu_rt.scene import ScalarTransform4f, load_dict, load_file  # noqa: F401
+
+
+def render(scene, **kwargs):
+    """mi.render equivalent — dispatches on the scene's integrator."""
+    from tpu_rt.integrator import render as _render
+
+    return _render(scene, **kwargs)

@@ -223,12 +223,38 @@ def _trace_chunked(geom: Geometry, o, d, tmin, tmax) -> Hit:
         e2 = padded(geom.tri_e2).reshape(-1, CHUNK, 3)
         n_chunks = p0.shape[0]
 
+        ox, oy, oz = o.reshape(-1, 3).T
+        dx, dy, dz = d.reshape(-1, 3).T
+        ox, oy, oz = ox[:, None], oy[:, None], oz[:, None]
+        dx, dy, dz = dx[:, None], dy[:, None], dz[:, None]
+
         def body(carry, inputs):
             bt, bp, bu, bv = carry
             cp0, ce1, ce2, base = inputs
-            t, u, v = isect.ray_triangle(
-                o2, d2, cp0[None], ce1[None], ce2[None], tmin_b, bt[:, None]
+            # Component-form Moller-Trumbore over (N, CHUNK): avoids
+            # materializing (N, CHUNK, 3) temporaries (3x HBM traffic).
+            e1x, e1y, e1z = ce1[None, :, 0], ce1[None, :, 1], ce1[None, :, 2]
+            e2x, e2y, e2z = ce2[None, :, 0], ce2[None, :, 1], ce2[None, :, 2]
+            p0x, p0y, p0z = cp0[None, :, 0], cp0[None, :, 1], cp0[None, :, 2]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv = 1.0 / jnp.where(
+                jnp.abs(det) < 1e-9, jnp.where(det < 0, -1e-9, 1e-9), det
             )
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tmin_b) & (t < bt[:, None])
+            )
+            t = jnp.where(ok, t, INF)
             ci = jnp.argmin(t, axis=1)
             idx = ci[:, None]
             t_c = jnp.take_along_axis(t, idx, axis=1)[:, 0]
