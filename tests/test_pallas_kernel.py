@@ -73,3 +73,41 @@ def test_render_pallas_interpret_smoke(cbox):
     assert np.isfinite(img).all()
     assert img.max() > 0
     assert render_pallas.last_ray_count > 0
+
+
+def test_pallas_furnace_constant_env():
+    """White-furnace through the megakernel: diffuse convex sphere with
+    albedo 0.7 in a constant unit environment -> exactly 0.7; escaped rays
+    see exactly the env radiance (BSDF-only env estimator)."""
+    scene = tpu_rt.load_dict(
+        {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 8},
+            "sensor": {
+                "type": "perspective",
+                "fov": 40,
+                "to_world": tpu_rt.ScalarTransform4f().look_at(
+                    origin=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0]
+                ),
+                "film": {"type": "hdrfilm", "width": 16, "height": 16,
+                         "rfilter": {"type": "box"}},
+                "sampler": {"type": "independent", "sample_count": 8},
+            },
+            "sph": {"type": "sphere", "bsdf": {"type": "diffuse",
+                                               "reflectance": np.full(3, 0.7)}},
+            "env": {"type": "constant", "radiance": np.ones(3)},
+        }
+    )
+    bs = bake_scene(scene)
+    assert bs is not None and bs.env_rgb == (1.0, 1.0, 1.0)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -4.0]]), (1024, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (1024, 1))
+    acc = 0.0
+    for s in range(16):
+        Lp, _ = pallas_path_trace(bs, o, d, s, interpret=True)
+        acc += float(np.asarray(Lp).mean())
+    np.testing.assert_allclose(acc / 16, 0.7, atol=0.02)
+    d2 = jnp.tile(jnp.asarray([[0.9, 0.44, 0.0]]), (1024, 1))
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    Lp, _ = pallas_path_trace(bs, o, d2, 0, interpret=True)
+    np.testing.assert_allclose(np.asarray(Lp)[0], 1.0, atol=1e-6)

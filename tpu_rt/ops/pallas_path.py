@@ -10,7 +10,8 @@ PAPERS.md, landed on the megakernel side because small scenes fit).
 Scope (dispatch falls back to the XLA path otherwise):
   * <= _MAX_PRIMS primitives: triangles + spheres + rectangles
   * BSDFs: diffuse, smooth dielectric, smooth conductor, rough conductor
-  * emitters: area lights (triangles) + point lights; no envmap
+  * emitters: area lights (triangles), point lights, constant (1x1)
+    environments; textured envmaps fall back to XLA
   * geometric normals (cbox meshes carry none), no textures
 
 Everything is component-SoA: x/y/z as separate (TM, 128) f32 tiles, the
@@ -43,7 +44,8 @@ from tpu_rt.scene.types import (
 _MAX_PRIMS = 64
 _MAX_LIGHT_TRIS = 8
 _BIG = 1e8
-_SUPPORTED_BSDFS = {BSDF_DIFFUSE, BSDF_DIELECTRIC, BSDF_CONDUCTOR}
+_SUPPORTED_BSDFS = {BSDF_DIFFUSE, BSDF_DIELECTRIC, BSDF_CONDUCTOR,
+                    BSDF_ROUGH_CONDUCTOR}
 
 
 # ---------------------------------------------------------------------------
@@ -67,6 +69,7 @@ class BakedScene:
     em_area: List[float]
     em_tris: List[List[Tuple[int, float]]]  # per emitter: [(prim, cdf)], cdf within emitter
     point_lights: List[Tuple[tuple, tuple]]  # (pos, intensity)
+    env_rgb: tuple = None  # constant environment radiance (or None)
     n_lights: int = 0
     max_depth: int = 6
     rr_depth: int = 5
@@ -79,8 +82,12 @@ def bake_scene(scene: Scene):
     g = scene.geometry
     if g.n_tris + g.n_analytic == 0 or g.n_tris + g.n_analytic > _MAX_PRIMS:
         return None
+    env_rgb = None
     if scene.emitters.has_env:
-        return None
+        env_map = np.asarray(scene.emitters.env_map)
+        if env_map.shape[:2] != (1, 1):
+            return None  # textured envmaps stay on the XLA path
+        env_rgb = tuple((env_map[0, 0] * float(scene.emitters.env_scale)).tolist())
     btypes = np.asarray(scene.bsdf_type)
     if not set(btypes.tolist()) <= _SUPPORTED_BSDFS:
         return None
@@ -172,6 +179,7 @@ def bake_scene(scene: Scene):
         em_area=em_area,
         em_tris=em_tris,
         point_lights=point_lights,
+        env_rgb=env_rgb,
         n_lights=em.n_area + len(point_lights),
         max_depth=min(max_depth, 16),
         rr_depth=scene.rr_depth,
@@ -406,6 +414,17 @@ def _build_kernel(bs: BakedScene):
             hit = (prim_f >= 0.0) & active
             ray_count = ray_count + jnp.where(active, 1.0, 0.0)
 
+            if bs.env_rgb is not None and not (depth == 0 and bs.hide_emitters):
+                # constant environment: BSDF-sampling-only estimator (env is
+                # not in the NEE light set), so escape weight is always 1
+                esc = active & ~hit
+                ef = jnp.where(esc, 1.0, 0.0)
+                L = (
+                    L[0] + thr[0] * bs.env_rgb[0] * ef,
+                    L[1] + thr[1] * bs.env_rgb[1] * ef,
+                    L[2] + thr[2] * bs.env_rgb[2] * ef,
+                )
+
             p_hit = _add(o, _scale(d, jnp.where(hit, t, 0.0)))
             wi = _scale(d, -1.0)  # toward origin (world)
             cos_l = _dot(n, wi)
@@ -435,6 +454,7 @@ def _build_kernel(bs: BakedScene):
             c_eta = (zeros, zeros, zeros)
             c_k = (ones, ones, ones)
             is_mirror = zeros > 1.0
+            alpha_rc = zeros + 1e-3
             for bi, (bt, prm) in enumerate(bs.bsdfs):
                 m = bsdf_id == float(bi)
                 btype = jnp.where(m, float(bt), btype)
@@ -442,7 +462,9 @@ def _build_kernel(bs: BakedScene):
                     refl = _where3(m, (prm[0] + zeros, prm[1] + zeros, prm[2] + zeros), refl)
                 elif bt == BSDF_DIELECTRIC:
                     eta_rel = jnp.where(m, prm[0] / max(prm[1], 1e-6), eta_rel)
-                elif bt == BSDF_CONDUCTOR:
+                elif bt in (BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR):
+                    if bt == BSDF_ROUGH_CONDUCTOR:
+                        alpha_rc = jnp.where(m, max(prm[9], 1e-3), alpha_rc)
                     if prm[0] < 0.0:  # perfect mirror marker
                         is_mirror = is_mirror | m
                     else:
@@ -460,6 +482,8 @@ def _build_kernel(bs: BakedScene):
             rng, u4 = _rng_next(rng)
             rng, u5 = _rng_next(rng)
             rng, u6 = _rng_next(rng)
+            rng, u7 = _rng_next(rng)
+            rng, u8 = _rng_next(rng)
 
             is_diffuse = btype == float(BSDF_DIFFUSE)
 
@@ -580,10 +604,51 @@ def _build_kernel(bs: BakedScene):
             w_die_s = jnp.where(pick_refl, 1.0, eta_ti * eta_ti)
             eta_fac = jnp.where(pick_refl, 1.0, eta_it)
 
+            # rough conductor: VNDF half-vector in local frame
+            flip_rc = jnp.where(cos_i >= 0.0, 1.0, -1.0)
+            wif = (wi_l[0] * flip_rc, wi_l[1] * flip_rc, wi_l[2] * flip_rc)
+            vh = _normalize((alpha_rc * wif[0], alpha_rc * wif[1], wif[2]))
+            lensq = vh[0] * vh[0] + vh[1] * vh[1]
+            inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+            big = lensq > 1e-20
+            t1v = (
+                jnp.where(big, -vh[1] * inv_len, 1.0),
+                jnp.where(big, vh[0] * inv_len, 0.0),
+                zeros,
+            )
+            t2v = _cross(vh, t1v)
+            r_h = jnp.sqrt(jnp.maximum(u7, 0.0))
+            phi_h = 2.0 * np.pi * u8
+            p1h = r_h * jnp.cos(phi_h)
+            p2h = r_h * jnp.sin(phi_h)
+            s_h = 0.5 * (1.0 + vh[2])
+            p2h = (1.0 - s_h) * _safe_sqrt(1.0 - p1h * p1h) + s_h * p2h
+            nh = _add(
+                _add(_scale(t1v, p1h), _scale(t2v, p2h)),
+                _scale(vh, _safe_sqrt(1.0 - p1h * p1h - p2h * p2h)),
+            )
+            mh = _normalize((alpha_rc * nh[0], alpha_rc * nh[1],
+                             jnp.maximum(nh[2], 1e-6)))
+            mh = (mh[0] * flip_rc, mh[1] * flip_rc, mh[2] * flip_rc)
+            cos_im_rc = _dot(wi_l, mh)
+            wo_rc = _sub(_scale(mh, 2.0 * cos_im_rc), wi_l)
+            # Smith G1/G2 (separable) for isotropic GGX
+            def g1_rc(v):
+                cz = v[2] * flip_rc
+                tan2 = jnp.maximum(1.0 - cz * cz, 0.0) / jnp.maximum(cz * cz, 1e-12)
+                lam = 0.5 * (_safe_sqrt(1.0 + alpha_rc * alpha_rc * tan2) - 1.0)
+                return jnp.where(cz != 0.0, 1.0 / (1.0 + lam), 0.0)
+            g1_i = g1_rc(wi_l)
+            g2_rc = g1_i * g1_rc(wo_rc)
+            w_g = g2_rc / jnp.maximum(g1_i, 1e-12)
+            valid_rc = (cos_i > 0.0) & (wo_rc[2] > 0.0)
+
             # conductor: mirror reflect
             wo_con = (-wi_l[0], -wi_l[1], wi_l[2])
-            # fresnel conductor per channel
-            c2 = cos_i * cos_i
+            # fresnel conductor per channel (at the half-vector for rough)
+            is_rough = btype == float(BSDF_ROUGH_CONDUCTOR)
+            cos_f = jnp.where(is_rough, jnp.abs(cos_im_rc), jnp.abs(cos_i))
+            c2 = cos_f * cos_f
             s2 = 1.0 - c2
             fc = []
             for ch in range(3):
@@ -593,7 +658,7 @@ def _build_kernel(bs: BakedScene):
                 a2b2 = _safe_sqrt(t0_ * t0_ + 4.0 * e2_ * k2_)
                 t1_ = a2b2 + c2
                 a_ = _safe_sqrt(jnp.maximum(0.5 * (a2b2 + t0_), 0.0))
-                t2_ = 2.0 * a_ * jnp.abs(cos_i)
+                t2_ = 2.0 * a_ * cos_f
                 rs_ = (t1_ - t2_) / jnp.maximum(t1_ + t2_, 1e-12)
                 t3_ = c2 * a2b2 + s2 * s2
                 t4_ = t2_ * s2
@@ -606,19 +671,29 @@ def _build_kernel(bs: BakedScene):
             )
             valid_con = cos_i > 0.0
 
-            # select by type
+            # select by type (rough conductor is treated as
+            # BSDF-sampling-only for MIS bookkeeping: delta_s=True, no NEE —
+            # unbiased, slightly noisier than full MIS on rough lobes)
             is_die = btype == float(BSDF_DIELECTRIC)
             is_con = btype == float(BSDF_CONDUCTOR)
-            wo_l = _where3(is_diffuse, wo_diff, _where3(is_die, wo_die, wo_con))
+            wo_l = _where3(
+                is_diffuse, wo_diff,
+                _where3(is_die, wo_die, _where3(is_rough, wo_rc, wo_con)),
+            )
             pdf_s = jnp.where(is_diffuse, pdf_diff, jnp.where(is_die, jnp.where(pick_refl, F, 1.0 - F), 1.0))
+            Fc_rough = (Fc[0] * w_g, Fc[1] * w_g, Fc[2] * w_g)
             w_s = _where3(
                 is_diffuse,
                 w_diff,
-                _where3(is_die, (w_die_s, w_die_s, w_die_s), Fc),
+                _where3(is_die, (w_die_s, w_die_s, w_die_s),
+                        _where3(is_rough, Fc_rough, Fc)),
             )
             delta_s = ~is_diffuse
             # (Mosaic can't select between i1 vectors: express with logic ops)
-            valid_s = (is_diffuse & valid_diff) | (is_con & valid_con) | is_die
+            valid_s = (
+                (is_diffuse & valid_diff) | (is_con & valid_con) | is_die
+                | (is_rough & valid_rc)
+            )
             eta_s = jnp.where(is_die, eta_fac, 1.0)
 
             d_new = _normalize(_to_world(n, s_fr, t_fr, wo_l))
