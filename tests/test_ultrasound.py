@@ -235,3 +235,49 @@ def test_das_matmul_matches_gather():
     a = np.asarray(das_beamform(ch, angles, elem_x, 50e6, 1540.0, xg, zg))
     b = np.asarray(das_beamform_matmul(ch, angles, elem_x, 50e6, 1540.0, xg, zg))
     assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-9) < 1e-3
+
+
+def test_convex_array_acquisition():
+    """Finite sensor radius places elements on a convex arc (CustomEmmitter
+    convex support extended to the acquisition path); plane-wave delays
+    become the projection onto the propagation direction and echoes still
+    arrive at the wave-physics time."""
+    from tpu_rt.sensor.transducer import element_geometry, plane_wave_rays
+
+    z0 = 0.02
+    d = {
+        "type": "scene",
+        "integrator": {
+            "type": "ultrasound_integrator",
+            "max_depth": 1, "n_elements": 16, "time_samples": 2000,
+            "pitch": 0.0006, "angles": np.asarray([0.0], np.float32),
+        },
+        "sensor": {
+            "type": "ultrasound_sensor", "num_elements_lateral": 16,
+            "pitch": 0.0006, "radius": 0.04,  # convex, 4 cm
+            "to_world": tpu_rt.ScalarTransform4f(),
+        },
+        "plate": {
+            "type": "rectangle",
+            "to_world": tpu_rt.ScalarTransform4f().translate([0, 0, z0])
+            @ tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+            @ tpu_rt.ScalarTransform4f().scale([0.05, 0.05, 1]),
+            "bsdf": {"type": "ultrasound_bsdf", "impedance": 7.8, "roughness": 0.3},
+        },
+    }
+    scene = tpu_rt.load_dict(d)
+    us = scene.ultrasound
+    base = plane_wave_rays(us)
+    pos = np.asarray(base["elem_pos"])
+    # convex arc: outer elements sit forward (z > 0), center near z = 0
+    assert pos[:, 2].max() > 1e-6 and abs(pos[8, 2]) < pos[0, 2]
+    # delay law: (x sin a + z cos a)/c with a=0 -> z/c
+    np.testing.assert_allclose(
+        np.asarray(base["tx_delay"]), pos[:, 2] / 1540.0, rtol=1e-5
+    )
+    ch, _ = simulate_acquisition(scene, seed=0, rays_per_pair=4)
+    ch = np.asarray(ch)
+    assert np.abs(ch).sum() > 0
+    t_idx = np.nonzero(np.abs(ch).sum(axis=(0, 1)))[0]
+    # first echo still ~2 z0/c (central element path)
+    assert abs(t_idx.min() - 2 * z0 / 1540.0 * 50e6) < 40

@@ -98,10 +98,7 @@ def simulate_acquisition(scene: Scene, seed=0, rays_per_pair=1,
         off = dx[:, None] * m[:3, 0] + dy[:, None] * m[:3, 1]
         o0 = o0 + off
 
-    elem_world = transform_point(
-        us.sensor_to_world,
-        jnp.stack([x_elem, jnp.zeros_like(x_elem), jnp.zeros_like(x_elem)], -1),
-    )  # [E, 3]
+    elem_world = transform_point(us.sensor_to_world, base["elem_pos"])  # [E, 3]
 
     alpha_m = jnp.deg2rad(us.main_beam_angle)
     alpha_c = jnp.deg2rad(us.cutoff_angle)

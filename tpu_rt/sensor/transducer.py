@@ -69,15 +69,19 @@ def plane_wave_rays(us: UltrasoundConfig, jitter=None):
     A = us.n_angles
     E = us.n_elements
     angles_rad = jnp.deg2rad(us.angles)
-    e = jnp.arange(E, dtype=jnp.float32)
-    x_elem = us.pitch * (e - (E - 1) * 0.5)
+
+    # Element placement: linear row (the reference integrator's layout,
+    # CustomIntegrator.py:84) or a convex arc when the sensor declares a
+    # finite radius (extends the CustomEmitter/UltraSensor convex support
+    # to the acquisition path).
+    pos_local, _nrm = element_geometry(E, us.pitch, us.radius, us.opening_angle)
 
     ang = jnp.repeat(angles_rad, E)  # [A*E]
-    xe = jnp.tile(x_elem, A)
+    pe = jnp.tile(pos_local, (A, 1))
     angle_idx = jnp.repeat(jnp.arange(A), E)
     elem_idx = jnp.tile(jnp.arange(E), A)
 
-    o_local = jnp.stack([xe, jnp.zeros_like(xe), jnp.zeros_like(xe)], -1)
+    o_local = pe
     if jitter is not None:
         dx = (jitter[:, 0] - 0.5) * us.elements_width
         dy = (jitter[:, 1] - 0.5) * us.elements_height
@@ -87,11 +91,14 @@ def plane_wave_rays(us: UltrasoundConfig, jitter=None):
     m = us.sensor_to_world
     o = transform_point(m, o_local)
     d = normalize(transform_vector(m, d_local))
-    tx_delay = xe * jnp.sin(ang) / us.sound_speed  # CustomIntegrator.py:87
+    # Plane-wave coherence delay: projection of the element position onto
+    # the propagation direction (reduces to x sin(a)/c for linear arrays,
+    # CustomIntegrator.py:87).
+    tx_delay = (pe[:, 0] * jnp.sin(ang) + pe[:, 2] * jnp.cos(ang)) / us.sound_speed
     trans_n = normalize(transform_vector(m, jnp.asarray([0.0, 0.0, 1.0])))
     return dict(
         o=o, d=d, tx_delay=tx_delay, angle_idx=angle_idx, elem_idx=elem_idx,
-        trans_normal=trans_n, x_elem=x_elem,
+        trans_normal=trans_n, x_elem=pos_local[:, 0], elem_pos=pos_local,
     )
 
 
