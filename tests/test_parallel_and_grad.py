@@ -134,9 +134,9 @@ def test_ultrasound_gradients_finite():
     assert np.abs(g[:, 0:2]).sum() > 0
 
 
-def test_inverse_rendering_recovers_roughness():
+def test_inverse_rendering_recovers_impedance():
     """End-to-end parameter recovery on the RF buffer (jax.grad realization
-    of the USMain.py roughness optimization)."""
+    of the USMain.py optimization loop, targeting the impedance param)."""
     from tpu_rt.integrator.ultrasound import simulate_acquisition
     from tpu_rt.opt.inverse import get_param, optimize, set_param, traverse
 
