@@ -34,22 +34,23 @@ def main():
         "BENCH_NO_PALLAS", ""
     ) != "1"
 
-    # The shared-tunnel TPU's available throughput swings run to run; time
-    # the full render twice and report the better rate (peak throughput).
+    # The shared-tunnel TPU's available throughput swings run to run; report
+    # the MEDIAN of N full renders (CLAUDE.md rule: median-of-N with
+    # block_until_ready — round 1 reported best-of-two, which overstated).
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
     def timed(render_fn, counter):
         img = render_fn(scene, spp=warmup, seed=123)
         jax.block_until_ready(img)
-        best = None
+        times = []
         rays = 0
-        for rep in range(2):
+        for rep in range(reps):
             t0 = time.perf_counter()
             img = render_fn(scene, spp=spp, seed=rep)
             jax.block_until_ready(img)
-            dt = time.perf_counter() - t0
-            if best is None or dt < best:
-                best = dt
-                rays = counter()
-        return rays, best
+            times.append(time.perf_counter() - t0)
+            rays = counter()
+        return rays, sorted(times)[len(times) // 2]
 
     if use_pallas:
         total_rays, dt = timed(

@@ -367,6 +367,67 @@ def _trace_bvh(geom: Geometry, o, d, tmin, tmax) -> Hit:
 
 
 # ---------------------------------------------------------------------------
+# Pallas mesh-kernel path
+# ---------------------------------------------------------------------------
+
+def _pallas_mesh_available(geom: Geometry) -> bool:
+    from tpu_rt.ops import pallas_mesh
+
+    if geom.cl_tris is None:
+        return False
+    if pallas_mesh.INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _trace_mesh_pallas(geom: Geometry, o, d, tmin, tmax) -> Hit:
+    """Triangles via the Pallas clustered sweep; analytic prims merged in
+    with the wide XLA sweep (mesh scenes carry at most a handful)."""
+    from tpu_rt.ops import pallas_mesh
+
+    tmax = jnp.minimum(tmax, 0.99 * INF)  # see _trace_bruteforce
+    shp = o.shape[:-1]
+    of = o.reshape(-1, 3)
+    df = d.reshape(-1, 3)
+    n = of.shape[0]
+    tmax_b = jnp.broadcast_to(tmax, shp).reshape(-1).astype(jnp.float32)
+
+    clusters = {"tris": geom.cl_tris, "bounds": geom.cl_bounds,
+                "prim": geom.cl_prim}
+    best_t, best_prim, best_u, best_v = pallas_mesh.mesh_intersect(
+        clusters, of, df, tmin=float(tmin), tmax=tmax_b
+    )
+
+    if geom.n_analytic > 0:
+        rot = geom.an_to_object[:, :3, :3]
+        trans = geom.an_to_object[:, :3, 3]
+        o_f = of.reshape(-1, 1, 1, 3)
+        d_f = df.reshape(-1, 1, 1, 3)
+        oo = jnp.sum(rot[None] * o_f, axis=-1) + trans[None]
+        od = jnp.sum(rot[None] * d_f, axis=-1)
+        tmin_b = jnp.broadcast_to(tmin, (n,)).reshape(-1, 1)
+        t_a, u_a, v_a = _analytic_sweep(
+            geom, geom.an_type[None, :], oo, od, tmin_b, best_t[:, None]
+        )
+        ai = jnp.argmin(t_a, axis=1)
+        idx = ai[:, None]
+        t_c = jnp.take_along_axis(t_a, idx, axis=1)[:, 0]
+        closer = t_c < best_t
+        best_prim = jnp.where(closer, geom.n_tris + ai.astype(jnp.int32), best_prim)
+        best_t = jnp.where(closer, t_c, best_t)
+        best_u = jnp.where(closer, jnp.take_along_axis(u_a, idx, axis=1)[:, 0], best_u)
+        best_v = jnp.where(closer, jnp.take_along_axis(v_a, idx, axis=1)[:, 0], best_v)
+
+    hit = best_prim >= 0
+    return Hit(
+        t=jnp.where(hit, best_t, INF).reshape(shp),
+        prim=best_prim.reshape(shp),
+        u=best_u.reshape(shp),
+        v=best_v.reshape(shp),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -374,6 +435,8 @@ def ray_intersect_hit(geom: Geometry, o, d, tmin=RAY_EPS, tmax=INF) -> Hit:
     P = geom.n_tris + geom.n_analytic
     if P <= BRUTE_FORCE_MAX_PRIMS:
         return _trace_bruteforce(geom, o, d, tmin, tmax)
+    if _pallas_mesh_available(geom):
+        return _trace_mesh_pallas(geom, o, d, tmin, tmax)
     if P <= CHUNKED_MAX_PRIMS:
         return _trace_chunked(geom, o, d, tmin, tmax)
     return _trace_bvh(geom, o, d, tmin, tmax)

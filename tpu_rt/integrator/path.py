@@ -47,6 +47,12 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
     """
     n = o.shape[0]
     depth_cap = _resolved_depth(scene, max_depth)
+    # When no emitter is hittable (point lights only — e.g. simple.xml),
+    # the final path segment can only contribute through BSDF-MIS emitter
+    # hits, which are identically zero: drop that last intersection sweep.
+    n_iters = depth_cap
+    if scene.emitters.n_area == 0 and not scene.emitters.has_env:
+        n_iters = max(depth_cap - 1, 1)
     rr_start = scene.rr_depth if rr_depth is None else rr_depth
 
     state = dict(
@@ -166,12 +172,30 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
         # after each bounce) — a cheap reduction the scan stacks for free
         return new_state, jnp.sum(alive.astype(jnp.int32))
 
-    keys = jax.random.split(key, depth_cap)
-    depths = jnp.arange(depth_cap)
+    keys = jax.random.split(key, n_iters)
+    depths = jnp.arange(n_iters)
     state, occupancy = jax.lax.scan(bounce, state, (depths, keys))
     if return_occupancy:
         return state["L"], state["n_rays"], occupancy
     return state["L"], state["n_rays"]
+
+
+def _tile_perm(H, W, tile=64):
+    """Pixel permutation into tile-major order (and its inverse).
+
+    Mesh scenes trace through the Pallas cluster-sweep kernel
+    (ops/pallas_mesh.py) whose AABB culling works per ray block; scanline
+    order makes blocks full-width strips that touch most clusters, while
+    64x64 screen tiles keep blocks frustum-coherent (measured 152M vs 90M
+    rays/s on the teapot).
+    """
+    import numpy as np
+
+    yi, xi = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    tid = (yi // tile) * (-(-W // tile)) + (xi // tile)
+    perm = np.argsort(tid.reshape(-1), kind="stable")
+    inv = np.argsort(perm)
+    return jnp.asarray(perm), jnp.asarray(inv)
 
 
 def render_sample_batch(scene: Scene, key, max_depth=None):
@@ -189,6 +213,49 @@ def render_sample_batch(scene: Scene, key, max_depth=None):
     return film_xy, L, n_rays
 
 
+@partial(jax.jit, static_argnames=("max_depth", "use_tiles"))
+def _render_passes(scene, film_vals, film_wts, keys, perm, inv_perm,
+                   max_depth, use_tiles):
+    """spp_per_pass one-sample-per-pixel waves via lax.scan.
+
+    Module-level jit taking the scene as an argument: repeated render()
+    calls with the same scene *structure* hit the jit cache instead of
+    re-tracing a fresh closure (CLAUDE.md jit-closure memoization rule —
+    rebuilding the closure cost ~10s/call on the tunnel TPU)."""
+    c = scene.camera
+    H, W = c.height, c.width
+    xy_int = jnp.stack(
+        jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), axis=-1
+    ).reshape(-1, 2).astype(jnp.float32)
+
+    def one(carry, key):
+        fv, fw, acc = carry
+        k_jit, k_path = jax.random.split(key)
+        jitter = jax.random.uniform(k_jit, (H * W, 2))
+        film_xy = xy_int + jitter
+        if use_tiles:
+            film_xy = film_xy[perm]
+        o, d = cam.sample_ray(c, film_xy)
+        L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth)
+        if use_tiles:
+            L = L[inv_perm]
+        ok = jnp.all(jnp.isfinite(L), axis=-1)
+        # pixel-aligned sample pattern -> scatter-free dense splat
+        fv, fw = film_mod.splat_aligned(
+            fv, fw,
+            jitter.reshape(H, W, 2),
+            L.reshape(H, W, 3),
+            ok.reshape(H, W),
+            c.filter_type,
+        )
+        return (fv, fw, acc + n_rays), None
+
+    (fv, fw, acc), _ = jax.lax.scan(
+        one, (film_vals, film_wts, jnp.zeros((), jnp.int32)), keys
+    )
+    return fv, fw, acc
+
+
 def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
     """Full render: returns (H, W, 3) image.
 
@@ -201,33 +268,9 @@ def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
     H, W = c.height, c.width
     spp_per_pass = max(1, min(spp_per_pass, spp))
 
-    xy_int = jnp.stack(
-        jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), axis=-1
-    ).reshape(-1, 2).astype(jnp.float32)
-
-    @partial(jax.jit, static_argnames=("n_keys",))
-    def passes(film_vals, film_wts, keys, n_keys):
-        def one(carry, key):
-            fv, fw, acc = carry
-            k_jit, k_path = jax.random.split(key)
-            jitter = jax.random.uniform(k_jit, (H * W, 2))
-            o, d = cam.sample_ray(c, xy_int + jitter)
-            L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth)
-            ok = jnp.all(jnp.isfinite(L), axis=-1)
-            # pixel-aligned sample pattern -> scatter-free dense splat
-            fv, fw = film_mod.splat_aligned(
-                fv, fw,
-                jitter.reshape(H, W, 2),
-                L.reshape(H, W, 3),
-                ok.reshape(H, W),
-                c.filter_type,
-            )
-            return (fv, fw, acc + n_rays), None
-
-        (fv, fw, acc), _ = jax.lax.scan(
-            one, (film_vals, film_wts, jnp.zeros((), jnp.int32)), keys
-        )
-        return fv, fw, acc
+    # Mesh scenes: trace rays in screen-tile order for the cluster kernel.
+    use_tiles = scene.geometry.cl_tris is not None
+    perm, inv_perm = _tile_perm(H, W) if use_tiles else (None, None)
 
     film_vals = jnp.zeros((H, W, 3), jnp.float32)
     film_wts = jnp.zeros((H, W), jnp.float32)
@@ -237,7 +280,10 @@ def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
     while done < spp:
         k = min(spp_per_pass, spp - done)
         keys = jnp.stack([jax.random.fold_in(root, done + i) for i in range(k)])
-        film_vals, film_wts, n_rays = passes(film_vals, film_wts, keys, n_keys=k)
+        film_vals, film_wts, n_rays = _render_passes(
+            scene, film_vals, film_wts, keys, perm, inv_perm,
+            max_depth, use_tiles,
+        )
         ray_counts.append(n_rays)
         done += k
     img = film_mod.develop(film_vals, film_wts)

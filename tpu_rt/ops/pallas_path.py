@@ -885,17 +885,10 @@ def render_pallas(scene: Scene, spp=None, seed=0, tile_rows=8, interpret=False,
         seeds = jnp.asarray(
             [seed * 100003 + done + i for i in range(k)], jnp.int32
         )
-        if k < spp_per_pass:  # pad the tail chunk; weight by reusing keys is
-            # avoided — instead run the tail unbatched through the same fn by
-            # repeating the last key with zero-weight? simplest: loop singles
-            for i in range(k):
-                fv, fw, n_rays = _get_render_fn(
-                    bs, cam_key, c, H, W, tile_rows, interpret, 1
-                )(fv, fw, keys[i : i + 1], seeds[i : i + 1])
-                counts.append(n_rays)
-        else:
-            fv, fw, n_rays = passes(fv, fw, keys, seeds)
-            counts.append(n_rays)
+        # The jitted scan shape-specializes on the keys length, so a short
+        # tail chunk reuses the same memoized fn (one extra compile at most).
+        fv, fw, n_rays = passes(fv, fw, keys, seeds)
+        counts.append(n_rays)
         done += k
     img = _film.develop(fv, fw)
     render_pallas.last_ray_count = int(sum(int(x) for x in _jax.device_get(counts)))

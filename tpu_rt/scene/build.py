@@ -432,6 +432,17 @@ class _Builder:
             bb_max = np.zeros((0, 3), np.float32)
         bvh = build_bvh(bb_min, bb_max)
 
+        # Clustered triangle tables for the Pallas mesh-sweep kernel —
+        # only worth building (and paying HBM for) on mesh-class scenes;
+        # small scenes take the wide brute-force XLA path.
+        clusters = None
+        if n_tris > 192:  # trace.BRUTE_FORCE_MAX_PRIMS
+            from tpu_rt.ops.pallas_mesh import build_clusters
+
+            clusters = build_clusters(
+                tri_p0, cat("e1", 3), cat("e2", 3), bvh=bvh
+            )
+
         geometry = Geometry(
             tri_p0=jnp.asarray(tri_p0),
             tri_e1=jnp.asarray(cat("e1", 3)),
@@ -453,6 +464,9 @@ class _Builder:
             bvh_b=jnp.asarray(bvh["b"]),
             bvh_count=jnp.asarray(bvh["count"]),
             prim_order=jnp.asarray(bvh["prim_order"]),
+            cl_tris=jnp.asarray(clusters["tris"]) if clusters else None,
+            cl_bounds=jnp.asarray(clusters["bounds"]) if clusters else None,
+            cl_prim=jnp.asarray(clusters["prim"]) if clusters else None,
             n_tris=n_tris,
             n_analytic=n_an,
             analytic_types=tuple(sorted(set(int(t) for t in self.an["type"]))),

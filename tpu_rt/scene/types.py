@@ -106,6 +106,12 @@ class Geometry:
     bvh_count: jnp.ndarray  # [M] 0 for internal, >0 leaf prim count
     prim_order: jnp.ndarray  # [T + A]
 
+    # Clustered triangle tables for the Pallas mesh kernel
+    # (tpu_rt.ops.pallas_mesh) — built for mesh-class scenes only.
+    cl_tris: Optional[jnp.ndarray] = None  # [C, 9, 128]
+    cl_bounds: Optional[jnp.ndarray] = None  # [C, 8]
+    cl_prim: Optional[jnp.ndarray] = None  # [C * 128]
+
     n_tris: int = flax.struct.field(pytree_node=False, default=0)
     n_analytic: int = flax.struct.field(pytree_node=False, default=0)
     # Static set of analytic shape types present — lets the tracer skip

@@ -15,25 +15,41 @@ from tpu_rt.us.beamform import das_beamform, hilbert_envelope
 
 
 class Probe:
-    def __init__(self, geometry_type, nb_elements, pitch, central_freq, bandwidth=70):
-        if geometry_type != "linear":
-            raise NotImplementedError("only 'linear' probes supported")
+    def __init__(self, geometry_type, nb_elements, pitch, central_freq,
+                 bandwidth=70, radius=float("inf")):
+        if geometry_type not in ("linear", "convex"):
+            raise NotImplementedError("geometry_type must be linear or convex")
+        if geometry_type == "convex" and not np.isfinite(radius):
+            raise ValueError("convex probes need a finite radius")
         self.geometry_type = geometry_type
         self.nb_elements = int(nb_elements)
         self.pitch = float(pitch)
         self.central_freq = float(central_freq)
         self.bandwidth = float(bandwidth)
+        self.radius = float(radius)
+
+    def _positions(self):
+        from tpu_rt.sensor.transducer import element_geometry
+
+        r = self.radius if self.geometry_type == "convex" else float("inf")
+        pos, _ = element_geometry(self.nb_elements, self.pitch, r)
+        return np.asarray(pos)
 
     @property
     def elements_x(self):
-        n = self.nb_elements
-        return self.pitch * (np.arange(n, dtype=np.float32) - (n - 1) / 2)
+        return self._positions()[:, 0]
+
+    @property
+    def elements_z(self):
+        return self._positions()[:, 2]
 
 
 def build_probe(geometry_type="linear", nb_elements=128, pitch=0.0003,
-                central_freq=5e6, bandwidth=70):
-    """ultraspy.probes.factory.build_probe equivalent (USMain.py:129-135)."""
-    return Probe(geometry_type, nb_elements, pitch, central_freq, bandwidth)
+                central_freq=5e6, bandwidth=70, radius=float("inf")):
+    """ultraspy.probes.factory.build_probe equivalent (USMain.py:129-135);
+    convex arrays take a finite ``radius`` (CustomEmmitter.py:41-47)."""
+    return Probe(geometry_type, nb_elements, pitch, central_freq, bandwidth,
+                 radius)
 
 
 class GridScan:
@@ -92,6 +108,7 @@ class DelayAndSum:
             scan.x,
             scan.z,
             t_offset=self.t0,
+            elem_z=jnp.asarray(self.probe.elements_z),
         )
 
     def compute_envelope(self, output, scan: GridScan):

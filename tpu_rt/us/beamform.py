@@ -32,7 +32,7 @@ def grid_scan(x_min, x_max, z_min, z_max, step_lateral, step_axial):
 
 
 def das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
-                 t_offset=0.0):
+                 t_offset=0.0, elem_z=None):
     """Delay-and-sum beamforming of plane-wave RF data.
 
     Args:
@@ -42,11 +42,18 @@ def das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
       fs: sampling rate (Hz).  c: sound speed (m/s).
       x_grid: [Nx], z_grid: [Nz] image grid (m).
       t_offset: acquisition start time t0.
+      elem_z: [E] element axial positions (m) — nonzero for convex arrays
+        (reference convex geometry: /root/reference/CustomEmmitter.py:41-47);
+        None means a linear row at z = 0.
     Returns beamformed image [Nx, Nz] (lateral x axial, like ultraspy).
     """
     channel_data = jnp.asarray(channel_data)
     elem_x = jnp.asarray(elem_x)
     A, E, T = channel_data.shape
+    if elem_z is None:
+        elem_z = jnp.zeros_like(elem_x)
+    else:
+        elem_z = jnp.asarray(elem_z)
     angles = jnp.deg2rad(jnp.asarray(angles_deg))
     X, Z = jnp.meshgrid(x_grid, z_grid, indexing="ij")  # [Nx, Nz]
     P = X.size
@@ -61,6 +68,7 @@ def das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
     pad_e = (-E) % E_CHUNK
     rf_all = channel_data
     elem_x_p = jnp.concatenate([elem_x, jnp.zeros((pad_e,), elem_x.dtype)])
+    elem_z_p = jnp.concatenate([elem_z, jnp.zeros((pad_e,), elem_z.dtype)])
     if pad_e:
         rf_all = jnp.concatenate(
             [rf_all, jnp.zeros((A, pad_e, T), rf_all.dtype)], axis=1
@@ -68,13 +76,18 @@ def das_beamform(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
     n_chunks = (E + pad_e) // E_CHUNK
     rf_chunks = rf_all.reshape(A, n_chunks, E_CHUNK, T)
     ex_chunks = elem_x_p.reshape(n_chunks, E_CHUNK)
+    ez_chunks = elem_z_p.reshape(n_chunks, E_CHUNK)
 
     def one_angle(acc, a_idx):
         t_tx = (px * jnp.sin(angles[a_idx]) + pz * jnp.cos(angles[a_idx])) * inv_c
 
         def one_chunk(acc_e, c_idx):
             ex = ex_chunks[c_idx]  # [C]
-            t_rx = jnp.sqrt((px[:, None] - ex[None, :]) ** 2 + pz[:, None] ** 2) * inv_c
+            ez = ez_chunks[c_idx]
+            t_rx = jnp.sqrt(
+                (px[:, None] - ex[None, :]) ** 2
+                + (pz[:, None] - ez[None, :]) ** 2
+            ) * inv_c
             t_f = (t_tx[:, None] + t_rx - t_offset) * fs  # [P, C]
             i0 = jnp.floor(t_f)
             w = t_f - i0
@@ -130,7 +143,8 @@ def apply_pulse(channel_data, fs, f0, wave_cycles=5):
 
 
 def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
-                        z_grid, t_offset=0.0, block=512, window=256):
+                        z_grid, t_offset=0.0, block=512, window=256,
+                        elem_z=None):
     """MXU-formulated DAS: random time-gathers (slow on TPU) become dense
     interpolation-weight matmuls over per-block RF windows.
 
@@ -143,6 +157,10 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
     """
     channel_data = jnp.asarray(channel_data)
     elem_x = jnp.asarray(elem_x)
+    if elem_z is None:
+        elem_z = jnp.zeros_like(elem_x)
+    else:
+        elem_z = jnp.asarray(elem_z)
     A, E, T = channel_data.shape
     angles = jnp.deg2rad(jnp.asarray(angles_deg))
     Nx, Nz = x_grid.shape[0], z_grid.shape[0]
@@ -184,7 +202,9 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
         t_tx = (pxb * sin_a + pzb * cos_a) * inv_c  # [n_blk, block]
 
         def one_elem(acc_e, e_idx):
-            t_rx = jnp.sqrt((pxb - elem_x[e_idx]) ** 2 + pzb**2) * inv_c
+            t_rx = jnp.sqrt(
+                (pxb - elem_x[e_idx]) ** 2 + (pzb - elem_z[e_idx]) ** 2
+            ) * inv_c
             t_f = (t_tx + t_rx - t_offset) * fs  # [n_blk, block]
             s = jnp.clip(
                 jnp.floor(jnp.min(t_f, axis=1)).astype(jnp.int32),
@@ -249,14 +269,16 @@ def log_compress(envelope, dynamic_range=60.0):
 
 
 def bmode_pipeline(channel_data, angles_deg, elem_x, fs, c,
-                   x_grid, z_grid, dynamic_range=60.0, method="matmul"):
+                   x_grid, z_grid, dynamic_range=60.0, method="matmul",
+                   elem_z=None):
     """channel data -> beamform -> envelope (axial) -> log compression.
     Returns display image [Nz, Nx] (depth down, like USMain.py:224).
 
     ``method``: 'matmul' (MXU windowed-interpolation DAS, default) or
     'gather' (reference formulation; used for cross-checks)."""
     das = das_beamform_matmul if method == "matmul" else das_beamform
-    bf = das(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid)
+    bf = das(channel_data, angles_deg, elem_x, fs, c, x_grid, z_grid,
+             elem_z=elem_z)
     env = hilbert_envelope(bf, axis=1)  # axial (z) axis
     img = log_compress(env, dynamic_range)
     return img.T  # (z, x) a.k.a. display orientation

@@ -29,11 +29,15 @@ def us_render(scene: Scene, seed=0, rays_per_pair=1, visualize=False,
     step = wavelength / 4.0
     x_grid, z_grid = grid_scan(x_bounds[0], x_bounds[1], z_bounds[0], z_bounds[1], step, step)
 
-    E = us.n_elements
-    elem_x = us.pitch * (jnp.arange(E, dtype=jnp.float32) - (E - 1) * 0.5)
+    # True element (x, z) positions — a convex probe's arc geometry flows
+    # into the rx delays (reference convex geometry: CustomEmmitter.py:41-47).
+    from tpu_rt.sensor.transducer import element_geometry
+
+    pos, _ = element_geometry(us.n_elements, us.pitch, us.radius,
+                              us.opening_angle)
     img = bmode_pipeline(
-        channel_buf, us.angles, elem_x, us.sampling_rate, us.sound_speed,
-        x_grid, z_grid, dynamic_range,
+        channel_buf, us.angles, pos[:, 0], us.sampling_rate, us.sound_speed,
+        x_grid, z_grid, dynamic_range, elem_z=pos[:, 2],
     )
     if visualize:
         _show(img, x_grid, z_grid)
