@@ -23,7 +23,10 @@ def main():
 
     res = int(os.environ.get("BENCH_RES", "512"))
     spp = int(os.environ.get("BENCH_SPP", "256"))
-    spp_per_pass = int(os.environ.get("BENCH_SPP_PER_PASS", "16"))
+    # 64 spp per jit dispatch: the tunnel's per-dispatch latency is ~35 ms,
+    # so 256/16 passes burned >0.5 s of pure dispatch (round-2 measurement:
+    # 391M rays/s at 16 spp/pass vs 548M at 64).
+    spp_per_pass = int(os.environ.get("BENCH_SPP_PER_PASS", "64"))
     warmup = spp_per_pass
 
     scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=res, spp=spp)

@@ -180,3 +180,230 @@ def render_direct(shapes, point_lights, width, height, cam_origin, cam_target,
                     )
             img[m] += (total * (l.area / g / g))[m]
     return img
+
+
+# ---------------------------------------------------------------------------
+# Full-GI path tracer (independent check for the cbox golden; VERDICT r1
+# weak #4: the committed golden was rendered by tpu_rt's own CPU backend, so
+# a shared transport bug was invisible).  NEE-only estimator: diffuse
+# vertices sample the light directly; emitter hits are credited only when
+# every bounce since the camera (or since the last diffuse vertex) was
+# specular.  Unbiased, no shared code with tpu_rt.
+# ---------------------------------------------------------------------------
+
+class Material:
+    def __init__(self, kind, albedo=(0, 0, 0), emission=None,
+                 int_ior=1.5046, ext_ior=1.000277):
+        self.kind = kind  # 'diffuse' | 'mirror' | 'glass'
+        self.albedo = np.asarray(albedo, np.float64)
+        self.emission = None if emission is None else np.asarray(emission, np.float64)
+        self.int_ior = float(int_ior)
+        self.ext_ior = float(ext_ior)
+
+
+def _cosine_hemisphere(n, rng):
+    u1 = rng.random(n.shape[:-1])
+    u2 = rng.random(n.shape[:-1])
+    r = np.sqrt(u1)
+    phi = 2 * np.pi * u2
+    x = r * np.cos(phi)
+    y = r * np.sin(phi)
+    z = np.sqrt(np.maximum(1 - u1, 0))
+    # build ONB around n
+    sign = np.where(n[..., 2] >= 0, 1.0, -1.0)
+    a = -1.0 / (sign + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t1 = np.stack([1 + sign * n[..., 0] ** 2 * a, sign * b, -sign * n[..., 0]], -1)
+    t2 = np.stack([b, sign + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+    return t1 * x[..., None] + t2 * y[..., None] + n * z[..., None]
+
+
+def render_path_gi(shapes, materials, light_idx, width, height, cam_origin,
+                   cam_target, cam_up, fov_deg, spp, max_depth=6, seed=0,
+                   wave=16):
+    """Monte-Carlo GI render: returns (H, W, 3) float64 (box filter).
+
+    shapes: list of Sphere/Quad; materials: parallel list of Material;
+    light_idx: index of the emitting Quad (sampled for NEE).
+    """
+    rng = np.random.default_rng(seed)
+    cam_origin = np.asarray(cam_origin, np.float64)
+    dcam = _normalize(np.asarray(cam_target, np.float64) - cam_origin)
+    left = _normalize(np.cross(np.asarray(cam_up, np.float64), dcam))
+    up = np.cross(dcam, left)
+    tan_half = np.tan(np.radians(fov_deg) / 2)
+    light = shapes[light_idx]
+    le = materials[light_idx].emission
+
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    acc = np.zeros((height, width, 3))
+    done = 0
+    while done < spp:
+        k = min(wave, spp - done)
+        # one wave = k jittered samples for every pixel
+        u = (xs[None] + rng.random((k, height, width))) / width
+        v = (ys[None] + rng.random((k, height, width))) / height
+        dirs = _normalize(
+            (2 * u - 1)[..., None] * tan_half * left
+            + (1 - 2 * v)[..., None] * tan_half * up
+            + dcam
+        ).reshape(-1, 3)
+        o = np.broadcast_to(cam_origin, dirs.shape).copy()
+        n_ray = dirs.shape[0]
+        thr = np.ones((n_ray, 3))
+        L = np.zeros((n_ray, 3))
+        spec = np.ones(n_ray, bool)  # camera/specular-preceded
+        active = np.ones(n_ray, bool)
+        d = dirs
+
+        def closest(o, d):
+            best_t = np.full(o.shape[:-1], np.inf)
+            best_i = np.full(o.shape[:-1], -1, np.int64)
+            for i, s in enumerate(shapes):
+                t = s.intersect(o, d)
+                m = t < best_t
+                best_t = np.where(m, t, best_t)
+                best_i = np.where(m, i, best_i)
+            return best_t, best_i
+
+        for depth in range(max_depth):
+            t, idx = closest(o, d)
+            hit = np.isfinite(t) & active
+            if not hit.any():
+                break
+            p = o + np.where(hit, t, 0)[..., None] * d
+
+            # per-shape normals
+            n = np.zeros_like(p)
+            for i, s in enumerate(shapes):
+                m = hit & (idx == i)
+                if m.any():
+                    n[m] = s.normal(p[m])
+
+            # emitter hit (one-sided: quad normal side), spec-preceded only
+            m_le = hit & (idx == light_idx) & spec
+            cos_le = -np.sum(d * light.n, -1)
+            m_le &= cos_le > 0
+            L[m_le] += thr[m_le] * le
+
+            new_active = np.zeros(n_ray, bool)
+            new_spec = np.zeros(n_ray, bool)
+            for i, s in enumerate(shapes):
+                mat = materials[i]
+                m = hit & (idx == i)
+                if not m.any():
+                    continue
+                if mat.kind == "diffuse":
+                    ns = np.where(
+                        np.sum(n[m] * d[m], -1, keepdims=True) > 0, -n[m], n[m]
+                    )
+                    # NEE toward the light rect (uniform area sample)
+                    if depth + 2 <= max_depth:
+                        lp = (
+                            light.corner
+                            + rng.random((m.sum(), 1)) * light.e1
+                            + rng.random((m.sum(), 1)) * light.e2
+                        )
+                        vec = lp - p[m]
+                        dist2 = np.maximum(np.sum(vec * vec, -1), 1e-12)
+                        dist = np.sqrt(dist2)
+                        wl = vec / dist[..., None]
+                        cos_s = np.maximum(np.sum(ns * wl, -1), 0)
+                        cos_l = np.maximum(np.sum(-wl * light.n, -1), 0)
+                        # shadow
+                        scale = np.maximum(1.0, np.abs(p[m]).max(-1, keepdims=True))
+                        sgn = np.sign(np.sum(ns * wl, -1, keepdims=True))
+                        so = p[m] + ns * sgn * 1e-4 * scale
+                        ts, _ = closest(so, wl)
+                        vis = ts >= dist * (1 - 1e-3)
+                        contrib = (
+                            thr[m] * mat.albedo / np.pi * le
+                            * (cos_s * cos_l / dist2 * light.area * vis)[..., None]
+                        )
+                        L[m] += contrib
+                    # cosine bounce
+                    nd = _cosine_hemisphere(ns, rng)
+                    thr[m] = thr[m] * mat.albedo
+                    scale = np.maximum(1.0, np.abs(p[m]).max(-1, keepdims=True))
+                    o[m] = p[m] + ns * 1e-4 * scale
+                    d[m] = nd
+                    new_active[m] = True
+                    new_spec[m] = False
+                elif mat.kind == "mirror":
+                    ns = np.where(
+                        np.sum(n[m] * d[m], -1, keepdims=True) > 0, -n[m], n[m]
+                    )
+                    nd = d[m] - 2 * np.sum(d[m] * ns, -1, keepdims=True) * ns
+                    scale = np.maximum(1.0, np.abs(p[m]).max(-1, keepdims=True))
+                    o[m] = p[m] + ns * 1e-4 * scale
+                    d[m] = _normalize(nd)
+                    new_active[m] = True
+                    new_spec[m] = True
+                else:  # glass (smooth dielectric)
+                    ng = n[m]  # outward sphere normal
+                    ci = -np.sum(d[m] * ng, -1)  # >0 entering
+                    outside = ci > 0
+                    eta_rel = mat.int_ior / mat.ext_ior
+                    eta_it = np.where(outside, eta_rel, 1 / eta_rel)
+                    eta_ti = 1 / eta_it
+                    nl = np.where(outside[..., None], ng, -ng)
+                    cos_i = np.abs(ci)
+                    sin2t = eta_ti**2 * np.maximum(1 - cos_i**2, 0)
+                    c2t = 1 - sin2t
+                    ct = np.sqrt(np.maximum(c2t, 0))
+                    rs = (cos_i - eta_it * ct) / np.maximum(cos_i + eta_it * ct, 1e-12)
+                    rp = (eta_it * cos_i - ct) / np.maximum(eta_it * cos_i + ct, 1e-12)
+                    F = np.where(c2t <= 0, 1.0, 0.5 * (rs**2 + rp**2))
+                    pick_r = rng.random(F.shape) < F
+                    # reflect
+                    nd_r = d[m] + 2 * cos_i[..., None] * nl
+                    # refract
+                    nd_t = (
+                        eta_ti[..., None] * d[m]
+                        + (eta_ti * cos_i - ct)[..., None] * nl
+                    )
+                    nd = np.where(pick_r[..., None], nd_r, nd_t)
+                    w = np.where(pick_r, 1.0, eta_ti**2)
+                    thr[m] = thr[m] * w[..., None]
+                    off = np.where(pick_r[..., None], nl, -nl)
+                    scale = np.maximum(1.0, np.abs(p[m]).max(-1, keepdims=True))
+                    o[m] = p[m] + off * 1e-4 * scale
+                    d[m] = _normalize(nd)
+                    new_active[m] = True
+                    new_spec[m] = True
+            active = new_active
+            spec = new_spec
+            if not active.any():
+                break
+
+        acc += L.reshape(k, height, width, 3).sum(axis=0)
+        done += k
+    return acc / spp
+
+
+def cbox_scene_gi():
+    """The reference cbox.xml as independent shapes/materials
+    (scenes/cbox.xml:36-129; luminaire radiance = the embedded transducer
+    block's intensity (1,1,1), matching tpu_rt's documented divergence)."""
+    white = (0.885809, 0.698859, 0.666422)
+    green = (0.105421, 0.37798, 0.076425)
+    red = (0.570068, 0.0430135, 0.0443706)
+    shapes = [
+        Quad((-1, -1, 1), (2, 0, 0), (0, 0, -2), white),     # floor y=-1
+        Quad((1, 1, -1), (0, 0, 2), (-2, 0, 0), white),      # ceiling y=1
+        Quad((1, -1, -1), (0, 2, 0), (-2, 0, 0), white),     # back z=-1
+        Quad((-1, 1, -1), (0, 0, 2), (0, -2, 0), green),     # green x=-1
+        Quad((1, -1, 1), (0, 2, 0), (0, 0, -2), red),        # red x=+1
+        Quad((0.25, 0.99, -0.25), (0, 0, 0.5), (-0.5, 0, 0), white,
+             emission=(1.0, 1.0, 1.0)),                      # luminaire
+        Sphere((-0.3, -0.5, 0.2), 0.5, (1, 1, 1)),           # mirror
+        Sphere((0.5, -0.75, -0.2), 0.25, (1, 1, 1)),         # glass
+    ]
+    materials = [
+        Material("diffuse", white), Material("diffuse", white),
+        Material("diffuse", white), Material("diffuse", green),
+        Material("diffuse", red),
+        Material("diffuse", white, emission=(1.0, 1.0, 1.0)),
+        Material("mirror"), Material("glass"),
+    ]
+    return shapes, materials, 5

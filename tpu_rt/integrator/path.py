@@ -279,7 +279,9 @@ def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
     done = 0
     while done < spp:
         k = min(spp_per_pass, spp - done)
-        keys = jnp.stack([jax.random.fold_in(root, done + i) for i in range(k)])
+        from tpu_rt.ops.pallas_path import _make_keys_seeds
+
+        keys, _ = _make_keys_seeds(root, jnp.int32(done), jnp.int32(0), k)
         film_vals, film_wts, n_rays = _render_passes(
             scene, film_vals, film_wts, keys, perm, inv_perm,
             max_depth, use_tiles,

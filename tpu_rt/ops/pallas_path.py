@@ -35,6 +35,8 @@ from tpu_rt.scene.types import (
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
+    BSDF_NULL,
+    BSDF_POLARIZER,
     BSDF_ROUGH_CONDUCTOR,
     RECTANGLE,
     SPHERE,
@@ -45,7 +47,7 @@ _MAX_PRIMS = 64
 _MAX_LIGHT_TRIS = 8
 _BIG = 1e8
 _SUPPORTED_BSDFS = {BSDF_DIFFUSE, BSDF_DIELECTRIC, BSDF_CONDUCTOR,
-                    BSDF_ROUGH_CONDUCTOR}
+                    BSDF_ROUGH_CONDUCTOR, BSDF_POLARIZER, BSDF_NULL}
 
 
 # ---------------------------------------------------------------------------
@@ -70,6 +72,11 @@ class BakedScene:
     em_tris: List[List[Tuple[int, float]]]  # per emitter: [(prim, cdf)], cdf within emitter
     point_lights: List[Tuple[tuple, tuple]]  # (pos, intensity)
     env_rgb: tuple = None  # constant environment radiance (or None)
+    # Textured environment: the kernel records each ray's (single) escape
+    # direction + throughput; the lat-long texture lookup happens in XLA
+    # outside the kernel (Mosaic gathers are too restricted for bilinear
+    # texture fetches).  BSDF-sampling-only estimator, like env_rgb.
+    env_textured: bool = False
     n_lights: int = 0
     max_depth: int = 6
     rr_depth: int = 5
@@ -83,11 +90,13 @@ def bake_scene(scene: Scene):
     if g.n_tris + g.n_analytic == 0 or g.n_tris + g.n_analytic > _MAX_PRIMS:
         return None
     env_rgb = None
+    env_textured = False
     if scene.emitters.has_env:
         env_map = np.asarray(scene.emitters.env_map)
-        if env_map.shape[:2] != (1, 1):
-            return None  # textured envmaps stay on the XLA path
-        env_rgb = tuple((env_map[0, 0] * float(scene.emitters.env_scale)).tolist())
+        if env_map.shape[:2] == (1, 1):
+            env_rgb = tuple((env_map[0, 0] * float(scene.emitters.env_scale)).tolist())
+        else:
+            env_textured = True  # lookup deferred to XLA via escape outputs
     btypes = np.asarray(scene.bsdf_type)
     if not set(btypes.tolist()) <= _SUPPORTED_BSDFS:
         return None
@@ -180,6 +189,7 @@ def bake_scene(scene: Scene):
         em_tris=em_tris,
         point_lights=point_lights,
         env_rgb=env_rgb,
+        env_textured=env_textured,
         n_lights=em.n_area + len(point_lights),
         max_depth=min(max_depth, 16),
         rr_depth=scene.rr_depth,
@@ -391,7 +401,8 @@ def _build_kernel(bs: BakedScene):
     inv_n_lights = 1.0 / n_lights
     has_lights = bs.n_lights > 0
 
-    def kernel(seed_ref, ox, oy, oz, dx, dy, dz, lr, lg, lb, nrays):
+    def kernel(seed_ref, ox, oy, oz, dx, dy, dz, lr, lg, lb, nrays,
+               *esc_refs):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         shape = o[0].shape
@@ -408,6 +419,10 @@ def _build_kernel(bs: BakedScene):
         prev_delta = active
         eta_scale = ones
         ray_count = zeros
+        # textured-env escape record: direction + throughput at the (single)
+        # escape event; the lat-long lookup runs in XLA after the kernel
+        esc_d = (zeros, zeros, zeros)
+        esc_thr = (zeros, zeros, zeros)
 
         for depth in range(bs.max_depth):
             t, prim_f, n = _sweep(bs, o, d, 1e-4, _BIG)
@@ -424,6 +439,10 @@ def _build_kernel(bs: BakedScene):
                     L[1] + thr[1] * bs.env_rgb[1] * ef,
                     L[2] + thr[2] * bs.env_rgb[2] * ef,
                 )
+            if bs.env_textured and not (depth == 0 and bs.hide_emitters):
+                esc = active & ~hit
+                esc_d = _where3(esc, d, esc_d)
+                esc_thr = _where3(esc, thr, esc_thr)
 
             p_hit = _add(o, _scale(d, jnp.where(hit, t, 0.0)))
             wi = _scale(d, -1.0)  # toward origin (world)
@@ -455,6 +474,7 @@ def _build_kernel(bs: BakedScene):
             c_k = (ones, ones, ones)
             is_mirror = zeros > 1.0
             alpha_rc = zeros + 1e-3
+            pass_t = (ones, ones, ones)  # pass-through tint (polarizer/null)
             for bi, (bt, prm) in enumerate(bs.bsdfs):
                 m = bsdf_id == float(bi)
                 btype = jnp.where(m, float(bt), btype)
@@ -462,6 +482,15 @@ def _build_kernel(bs: BakedScene):
                     refl = _where3(m, (prm[0] + zeros, prm[1] + zeros, prm[2] + zeros), refl)
                 elif bt == BSDF_DIELECTRIC:
                     eta_rel = jnp.where(m, prm[0] / max(prm[1], 1e-6), eta_rel)
+                elif bt == BSDF_POLARIZER:
+                    # intensity-path fallback (bsdf/eval.py polarizer lane):
+                    # delta straight-through, weight = 0.5 * transmittance
+                    pass_t = _where3(
+                        m,
+                        (prm[3] * 0.5 + zeros, prm[4] * 0.5 + zeros,
+                         prm[5] * 0.5 + zeros),
+                        pass_t,
+                    )
                 elif bt in (BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR):
                     if bt == BSDF_ROUGH_CONDUCTOR:
                         alpha_rc = jnp.where(m, max(prm[9], 1e-3), alpha_rc)
@@ -676,10 +705,13 @@ def _build_kernel(bs: BakedScene):
             # unbiased, slightly noisier than full MIS on rough lobes)
             is_die = btype == float(BSDF_DIELECTRIC)
             is_con = btype == float(BSDF_CONDUCTOR)
+            is_pass = (btype == float(BSDF_POLARIZER)) | (btype == float(BSDF_NULL))
             wo_l = _where3(
                 is_diffuse, wo_diff,
                 _where3(is_die, wo_die, _where3(is_rough, wo_rc, wo_con)),
             )
+            # pass-through (polarizer intensity fallback / null): straight on
+            wo_l = _where3(is_pass, (-wi_l[0], -wi_l[1], -wi_l[2]), wo_l)
             pdf_s = jnp.where(is_diffuse, pdf_diff, jnp.where(is_die, jnp.where(pick_refl, F, 1.0 - F), 1.0))
             Fc_rough = (Fc[0] * w_g, Fc[1] * w_g, Fc[2] * w_g)
             w_s = _where3(
@@ -688,11 +720,12 @@ def _build_kernel(bs: BakedScene):
                 _where3(is_die, (w_die_s, w_die_s, w_die_s),
                         _where3(is_rough, Fc_rough, Fc)),
             )
+            w_s = _where3(is_pass, pass_t, w_s)
             delta_s = ~is_diffuse
             # (Mosaic can't select between i1 vectors: express with logic ops)
             valid_s = (
                 (is_diffuse & valid_diff) | (is_con & valid_con) | is_die
-                | (is_rough & valid_rc)
+                | (is_rough & valid_rc) | is_pass
             )
             eta_s = jnp.where(is_die, eta_fac, 1.0)
 
@@ -730,6 +763,14 @@ def _build_kernel(bs: BakedScene):
         lg[:] = L[1]
         lb[:] = L[2]
         nrays[:] = ray_count
+        if bs.env_textured:
+            edx, edy, edz, etr, etg, etb = esc_refs
+            edx[:] = esc_d[0]
+            edy[:] = esc_d[1]
+            edz[:] = esc_d[2]
+            etr[:] = esc_thr[0]
+            etg[:] = esc_thr[1]
+            etb[:] = esc_thr[2]
 
     return kernel
 
@@ -758,22 +799,28 @@ def pallas_path_trace(bs: BakedScene, o, d, seed, tile_rows=8, interpret=False):
     block = pl.BlockSpec(
         (tile_rows, lanes), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 4
+    n_out = 10 if bs.env_textured else 4
+    out_shape = [jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * n_out
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[block] * 6,
-        out_specs=[block] * 4,
+        out_specs=[block] * n_out,
     )
-    lr_, lg_, lb_, nr_ = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), *comps_in)
+    lr_, lg_, lb_, nr_ = outs[:4]
     L = jnp.stack([lr_.reshape(-1), lg_.reshape(-1), lb_.reshape(-1)], axis=-1)
     n_rays = jnp.sum(nr_).astype(jnp.int32)
+    if bs.env_textured:
+        esc_d = jnp.stack([x.reshape(-1) for x in outs[4:7]], axis=-1)
+        esc_thr = jnp.stack([x.reshape(-1) for x in outs[7:10]], axis=-1)
+        return L, n_rays, esc_d, esc_thr
     return L, n_rays
 
 
@@ -794,6 +841,16 @@ def _bake_key(bs: BakedScene):
 
 
 _RENDER_FN_CACHE = {}
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _make_keys_seeds(root, start, seed_base, k):
+    """Per-pass PRNG keys + kernel seeds in ONE device call (a python loop
+    of eager fold_ins cost ~0.2 ms each over the tunnel)."""
+    idx = start + jnp.arange(k)
+    keys = jax.vmap(lambda i: jax.random.fold_in(root, i))(idx)
+    seeds = (seed_base + idx).astype(jnp.int32)
+    return keys, seeds
 
 
 def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
@@ -817,7 +874,7 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
     ).reshape(-1, 2).astype(jnp.float32)
 
     @_jax.jit
-    def passes(fv, fw, keys, seeds):
+    def passes(scene, fv, fw, keys, seeds):
         def one(carry, inputs):
             fv, fw, acc = carry
             key, seed_i = inputs
@@ -828,8 +885,17 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
                 d = jnp.concatenate(
                     [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0
                 )
-            L, n_rays = pallas_path_trace(bs, o, d, seed_i, tile_rows=tile_rows,
-                                          interpret=interpret)
+            out = pallas_path_trace(bs, o, d, seed_i, tile_rows=tile_rows,
+                                    interpret=interpret)
+            if bs.env_textured:
+                from tpu_rt.emitter import sample as _em
+
+                L, n_rays, esc_d, esc_thr = out
+                # deferred lat-long lookup for escaped rays (zero throughput
+                # where the ray never escaped)
+                L = L + esc_thr * _em.eval_env(scene, esc_d)
+            else:
+                L, n_rays = out
             L = L[:n]
             ok = jnp.all(jnp.isfinite(L), axis=-1)
             fv, fw = _film.splat_aligned(
@@ -881,13 +947,12 @@ def render_pallas(scene: Scene, spp=None, seed=0, tile_rows=8, interpret=False,
     done = 0
     while done < spp:
         k = min(spp_per_pass, spp - done)
-        keys = jnp.stack([_jax.random.fold_in(root, done + i) for i in range(k)])
-        seeds = jnp.asarray(
-            [seed * 100003 + done + i for i in range(k)], jnp.int32
+        keys, seeds = _make_keys_seeds(
+            root, jnp.int32(done), jnp.int32(seed * 100003), k
         )
         # The jitted scan shape-specializes on the keys length, so a short
         # tail chunk reuses the same memoized fn (one extra compile at most).
-        fv, fw, n_rays = passes(fv, fw, keys, seeds)
+        fv, fw, n_rays = passes(scene, fv, fw, keys, seeds)
         counts.append(n_rays)
         done += k
     img = _film.develop(fv, fw)
