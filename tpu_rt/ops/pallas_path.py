@@ -38,6 +38,7 @@ from tpu_rt.scene.types import (
     BSDF_NULL,
     BSDF_POLARIZER,
     BSDF_ROUGH_CONDUCTOR,
+    CONE,
     RECTANGLE,
     SPHERE,
     Scene,
@@ -101,7 +102,7 @@ def bake_scene(scene: Scene):
     if not set(btypes.tolist()) <= _SUPPORTED_BSDFS:
         return None
     for t in np.asarray(g.an_type).tolist():
-        if t not in (SPHERE, RECTANGLE):
+        if t not in (SPHERE, RECTANGLE, CONE):
             return None
 
     shape_bsdf = np.asarray(scene.shape_bsdf)
@@ -141,6 +142,19 @@ def bake_scene(scene: Scene):
             prims.append(
                 BakedPrim("sphere", (center, float(sx)), int(shape_bsdf[sid]),
                           int(shape_emitter[sid]))
+            )
+        elif int(an_type[i]) == CONE:
+            # object-space rows of to_object; the world normal is computed
+            # per-hit from the object normal via M_obj^T (no extra data)
+            mo = an_to_object[i]
+            prims.append(
+                BakedPrim(
+                    "cone",
+                    (tuple(mo[0].tolist()), tuple(mo[1].tolist()),
+                     tuple(mo[2].tolist())),
+                    int(shape_bsdf[sid]),
+                    int(shape_emitter[sid]),
+                )
             )
         else:  # rectangle: keep object transform rows + world normal
             mo = an_to_object[i]
@@ -349,6 +363,43 @@ def _sweep(bs: BakedScene, o, d, tmin, tmax, any_hit=False):
                 (o[1] + t * d[1] - cy) * inv_r,
                 (o[2] + t * d[2] - cz) * inv_r,
             )
+        elif p.kind == "cone":
+            # unit cone x^2+y^2 = (1-z)^2, z in [0,1] in object space
+            # (geometry/intersect.py:ray_cone conventions)
+            m0, m1, m2 = p.data
+            oxp = m0[0] * o[0] + m0[1] * o[1] + m0[2] * o[2] + m0[3]
+            oyp = m1[0] * o[0] + m1[1] * o[1] + m1[2] * o[2] + m1[3]
+            ozp = m2[0] * o[0] + m2[1] * o[1] + m2[2] * o[2] + m2[3]
+            dxp = m0[0] * d[0] + m0[1] * d[1] + m0[2] * d[2]
+            dyp = m1[0] * d[0] + m1[1] * d[1] + m1[2] * d[2]
+            dzp = m2[0] * d[0] + m2[1] * d[1] + m2[2] * d[2]
+            kk = 1.0 - ozp
+            a_ = dxp * dxp + dyp * dyp - dzp * dzp
+            b_ = 2.0 * (oxp * dxp + oyp * dyp + kk * dzp)
+            c_ = oxp * oxp + oyp * oyp - kk * kk
+            disc = b_ * b_ - 4.0 * a_ * c_
+            sq = _safe_sqrt(disc)
+            a_safe = jnp.where(jnp.abs(a_) < 1e-12,
+                               jnp.where(a_ < 0, -1e-12, 1e-12), a_)
+            r0 = (-b_ - sq) / (2.0 * a_safe)
+            r1 = (-b_ + sq) / (2.0 * a_safe)
+            tn_ = jnp.minimum(r0, r1)
+            tf_ = jnp.maximum(r0, r1)
+            z_n = ozp + tn_ * dzp
+            z_f = ozp + tf_ * dzp
+            v_n = (disc >= 0.0) & (tn_ > tmin) & (tn_ < tmax) & (z_n >= 0.0) & (z_n <= 1.0)
+            v_f = (disc >= 0.0) & (tf_ > tmin) & (tf_ < tmax) & (z_f >= 0.0) & (z_f <= 1.0)
+            t = jnp.where(v_n, tn_, tf_)
+            ok = v_n | v_f
+            # object normal (x, y, 1-z) -> world via M_obj^T
+            xh = oxp + t * dxp
+            yh = oyp + t * dyp
+            zh = 1.0 - (ozp + t * dzp)
+            pn = _normalize((
+                m0[0] * xh + m1[0] * yh + m2[0] * zh,
+                m0[1] * xh + m1[1] * yh + m2[1] * zh,
+                m0[2] * xh + m1[2] * yh + m2[2] * zh,
+            ))
         else:  # rect: object-space rows m0, m1, m2 of to_object; world normal
             m0, m1, m2, nw = p.data
             ozp = m2[0] * o[0] + m2[1] * o[1] + m2[2] * o[2] + m2[3]
