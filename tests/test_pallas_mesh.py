@@ -97,3 +97,30 @@ def test_dispatch_uses_kernel_only_when_enabled(teapot_scene):
     pallas_mesh.INTERPRET = False
     # CPU backend without interpret: must fall back to the XLA paths
     assert not trace._pallas_mesh_available(g)
+
+
+def test_fused_direct_kernel_matches_xla(teapot_scene):
+    """The fused direct-illumination megakernel (trace + Lambert shading +
+    per-light shadow sweeps on-core) statistically matches the two-phase
+    XLA renderer on simple.xml (diffuse teapot + two point lights,
+    /root/reference/scenes/simple.xml:23-38)."""
+    from tpu_rt.integrator.path import render as render_xla
+
+    scene = tpu_rt.load_file("/root/reference/scenes/simple.xml", res=32, spp=1)
+    baked = pallas_mesh.bake_direct_scene(scene)
+    assert baked is not None
+    imp = np.asarray(pallas_mesh.mesh_direct_render(scene, spp=4, seed=1))
+    imx = np.asarray(render_xla(scene, spp=8, seed=2, spp_per_pass=8))
+    assert np.isfinite(imp).all()
+    assert abs(imp.mean() - imx.mean()) / imx.mean() < 0.05
+
+    def blk(x):
+        return x.reshape(8, 4, 8, 4, 3).mean(axis=(1, 3))
+
+    assert np.abs(blk(imp) - blk(imx)).max() < 0.12 * max(imx.max(), 1e-9)
+
+
+def test_fused_direct_scope_guard():
+    """cbox (area lights, non-mesh) is out of the fused kernel's scope."""
+    scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=16, spp=1)
+    assert pallas_mesh.bake_direct_scene(scene) is None

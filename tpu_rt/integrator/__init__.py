@@ -20,6 +20,19 @@ def render(scene: Scene, spp=None, seed=0, **kwargs):
         from tpu_rt.integrator.path import render as render_path
 
         max_depth = 2 if scene.integrator == INTEGRATOR_DIRECT else None
+        if scene.integrator == INTEGRATOR_DIRECT and not kwargs:
+            # Fused direct-illumination mesh megakernel (trace + shade +
+            # shadow rays on-core) when the scene is in scope and a Pallas
+            # backend is available (TPU, or interpret mode in tests).
+            from tpu_rt.geometry.trace import _pallas_mesh_available
+            from tpu_rt.ops import pallas_mesh
+
+            if _pallas_mesh_available(scene.geometry):
+                baked = pallas_mesh.bake_direct_scene(scene)
+                if baked is not None:
+                    return pallas_mesh.mesh_direct_render(
+                        scene, spp=spp, seed=seed, baked=baked
+                    )
         return render_path(scene, spp=spp, seed=seed, max_depth=max_depth, **kwargs)
     if scene.integrator == INTEGRATOR_STOKES:
         from tpu_rt.integrator.stokes import render_stokes
