@@ -451,6 +451,10 @@ def _build_kernel(bs: BakedScene):
     n_lights = max(bs.n_lights, 1)
     inv_n_lights = 1.0 / n_lights
     has_lights = bs.n_lights > 0
+    # Rough-conductor lanes get full NEE-side MIS (round-1 treated them as
+    # BSDF-sampling-only); the extra code is compiled only when the baked
+    # scene actually contains a rough conductor.
+    has_rough = any(bt == BSDF_ROUGH_CONDUCTOR for bt, _ in bs.bsdfs)
 
     def kernel(seed_ref, ox, oy, oz, dx, dy, dz, lr, lg, lb, nrays,
                *esc_refs):
@@ -525,6 +529,7 @@ def _build_kernel(bs: BakedScene):
             c_k = (ones, ones, ones)
             is_mirror = zeros > 1.0
             alpha_rc = zeros + 1e-3
+            spec_c = (ones, ones, ones)  # conductor specular_reflectance
             pass_t = (ones, ones, ones)  # pass-through tint (polarizer/null)
             for bi, (bt, prm) in enumerate(bs.bsdfs):
                 m = bsdf_id == float(bi)
@@ -550,10 +555,49 @@ def _build_kernel(bs: BakedScene):
                     else:
                         c_eta = _where3(m, (prm[0] + zeros, prm[1] + zeros, prm[2] + zeros), c_eta)
                         c_k = _where3(m, (prm[3] + zeros, prm[4] + zeros, prm[5] + zeros), c_k)
+                    spec_c = _where3(
+                        m, (prm[6] + zeros, prm[7] + zeros, prm[8] + zeros), spec_c
+                    )
 
             s_fr, t_fr = _frame(n)
             wi_l = _to_local(n, s_fr, t_fr, wi)
             cos_i = wi_l[2]
+            is_rough = btype == float(BSDF_ROUGH_CONDUCTOR)
+
+            def fres_cond(cos_f):
+                """Per-channel conductor Fresnel at |cos_f| (mirror -> 1)."""
+                c2 = cos_f * cos_f
+                s2 = 1.0 - c2
+                out = []
+                for ch in range(3):
+                    e2_ = c_eta[ch] * c_eta[ch]
+                    k2_ = c_k[ch] * c_k[ch]
+                    t0_ = e2_ - k2_ - s2
+                    a2b2 = _safe_sqrt(t0_ * t0_ + 4.0 * e2_ * k2_)
+                    t1_ = a2b2 + c2
+                    a_ = _safe_sqrt(jnp.maximum(0.5 * (a2b2 + t0_), 0.0))
+                    t2_ = 2.0 * a_ * cos_f
+                    rs_ = (t1_ - t2_) / jnp.maximum(t1_ + t2_, 1e-12)
+                    t3_ = c2 * a2b2 + s2 * s2
+                    t4_ = t2_ * s2
+                    rp_ = rs_ * (t3_ - t4_) / jnp.maximum(t3_ + t4_, 1e-12)
+                    out.append(jnp.where(is_mirror, 1.0, 0.5 * (rs_ + rp_)))
+                return tuple(out)
+
+            def ggx_d_up(cz):
+                """GGX D for an upper-hemisphere half vector (cancellation
+                free form, bsdf/microfacet.py:ggx_d)."""
+                c2_ = cz * cz
+                s2_ = jnp.maximum(1.0 - c2_, 0.0)
+                a2_ = alpha_rc * alpha_rc
+                den = a2_ * c2_ + s2_
+                dd = a2_ / jnp.maximum(np.pi * den * den, 1e-18)
+                return jnp.where(cz > 0.0, dd, 0.0)
+
+            def ggx_g1_up(cz):
+                tan2 = jnp.maximum(1.0 - cz * cz, 0.0) / jnp.maximum(cz * cz, 1e-12)
+                lam = 0.5 * (_safe_sqrt(1.0 + alpha_rc * alpha_rc * tan2) - 1.0)
+                return jnp.where(cz > 0.0, 1.0 / (1.0 + lam), 0.0)
 
             rng, u0 = _rng_next(rng)
             rng, u1 = _rng_next(rng)
@@ -617,7 +661,31 @@ def _build_kernel(bs: BakedScene):
                 )
                 f_diff = _scale(refl, (1.0 / np.pi) * jnp.maximum(cos_sl, 0.0))
                 pdf_bsdf_l = jnp.maximum(cos_sl, 0.0) * (1.0 / np.pi)
-                nee_ok = hit & is_diffuse & (cos_sl > 0.0)
+                nee_f = f_diff
+                nee_lanes = is_diffuse
+                if has_rough:
+                    # rough conductor toward the light: f*cos =
+                    # spec * F(cos_ih) * D(h) G2 / (4 cos_i); pdf(wl) =
+                    # G1(wi) D(h) / (4 cos_i)  (VNDF measure)
+                    wl_l = _to_local(n, s_fr, t_fr, wl)
+                    hraw = _add(wi_l, wl_l)
+                    hn = _normalize(hraw)
+                    D_l = ggx_d_up(hn[2])
+                    G2_l = ggx_g1_up(cos_i) * ggx_g1_up(wl_l[2])
+                    cos_ih_l = jnp.abs(_dot(wi_l, hn))
+                    F_l = fres_cond(cos_ih_l)
+                    base = D_l * G2_l / jnp.maximum(4.0 * cos_i, 1e-12)
+                    f_rc_l = (spec_c[0] * F_l[0] * base,
+                              spec_c[1] * F_l[1] * base,
+                              spec_c[2] * F_l[2] * base)
+                    pdf_rc_l = ggx_g1_up(cos_i) * D_l / jnp.maximum(
+                        4.0 * cos_i, 1e-12
+                    )
+                    rough_nee = is_rough & (cos_i > 0.0) & (wl_l[2] > 0.0)
+                    nee_f = _where3(rough_nee, f_rc_l, nee_f)
+                    pdf_bsdf_l = jnp.where(rough_nee, pdf_rc_l, pdf_bsdf_l)
+                    nee_lanes = nee_lanes | rough_nee
+                nee_ok = hit & nee_lanes & (cos_sl > 0.0)
                 nee_ok = nee_ok & (is_delta_l | (cos_ll > 1e-6))
 
                 occ = _sweep(
@@ -634,9 +702,9 @@ def _build_kernel(bs: BakedScene):
                 sc = jnp.where(is_delta_l, scale_delta, scale_area)
                 scf = jnp.where(vis, sc, 0.0)
                 L = (
-                    L[0] + thr[0] * f_diff[0] * l_rad[0] * scf,
-                    L[1] + thr[1] * f_diff[1] * l_rad[1] * scf,
-                    L[2] + thr[2] * f_diff[2] * l_rad[2] * scf,
+                    L[0] + thr[0] * nee_f[0] * l_rad[0] * scf,
+                    L[1] + thr[1] * nee_f[1] * l_rad[1] * scf,
+                    L[2] + thr[2] * nee_f[2] * l_rad[2] * scf,
                 )
 
             # ---- BSDF sampling ------------------------------------------------
@@ -726,34 +794,13 @@ def _build_kernel(bs: BakedScene):
             # conductor: mirror reflect
             wo_con = (-wi_l[0], -wi_l[1], wi_l[2])
             # fresnel conductor per channel (at the half-vector for rough)
-            is_rough = btype == float(BSDF_ROUGH_CONDUCTOR)
             cos_f = jnp.where(is_rough, jnp.abs(cos_im_rc), jnp.abs(cos_i))
-            c2 = cos_f * cos_f
-            s2 = 1.0 - c2
-            fc = []
-            for ch in range(3):
-                e2_ = c_eta[ch] * c_eta[ch]
-                k2_ = c_k[ch] * c_k[ch]
-                t0_ = e2_ - k2_ - s2
-                a2b2 = _safe_sqrt(t0_ * t0_ + 4.0 * e2_ * k2_)
-                t1_ = a2b2 + c2
-                a_ = _safe_sqrt(jnp.maximum(0.5 * (a2b2 + t0_), 0.0))
-                t2_ = 2.0 * a_ * cos_f
-                rs_ = (t1_ - t2_) / jnp.maximum(t1_ + t2_, 1e-12)
-                t3_ = c2 * a2b2 + s2 * s2
-                t4_ = t2_ * s2
-                rp_ = rs_ * (t3_ - t4_) / jnp.maximum(t3_ + t4_, 1e-12)
-                fc.append(0.5 * (rs_ + rp_))
-            Fc = (
-                jnp.where(is_mirror, 1.0, fc[0]),
-                jnp.where(is_mirror, 1.0, fc[1]),
-                jnp.where(is_mirror, 1.0, fc[2]),
-            )
+            Fc = fres_cond(cos_f)
+            Fc = (Fc[0] * spec_c[0], Fc[1] * spec_c[1], Fc[2] * spec_c[2])
             valid_con = cos_i > 0.0
 
-            # select by type (rough conductor is treated as
-            # BSDF-sampling-only for MIS bookkeeping: delta_s=True, no NEE —
-            # unbiased, slightly noisier than full MIS on rough lobes)
+            # select by type (rough conductors carry the real VNDF pdf so
+            # both MIS sides are active; other specular lobes stay delta)
             is_die = btype == float(BSDF_DIELECTRIC)
             is_con = btype == float(BSDF_CONDUCTOR)
             is_pass = (btype == float(BSDF_POLARIZER)) | (btype == float(BSDF_NULL))
@@ -764,6 +811,11 @@ def _build_kernel(bs: BakedScene):
             # pass-through (polarizer intensity fallback / null): straight on
             wo_l = _where3(is_pass, (-wi_l[0], -wi_l[1], -wi_l[2]), wo_l)
             pdf_s = jnp.where(is_diffuse, pdf_diff, jnp.where(is_die, jnp.where(pick_refl, F, 1.0 - F), 1.0))
+            if has_rough:
+                pdf_rc_s = ggx_g1_up(cos_i) * ggx_d_up(mh[2]) / jnp.maximum(
+                    4.0 * cos_i, 1e-12
+                )
+                pdf_s = jnp.where(is_rough, pdf_rc_s, pdf_s)
             Fc_rough = (Fc[0] * w_g, Fc[1] * w_g, Fc[2] * w_g)
             w_s = _where3(
                 is_diffuse,
@@ -773,6 +825,8 @@ def _build_kernel(bs: BakedScene):
             )
             w_s = _where3(is_pass, pass_t, w_s)
             delta_s = ~is_diffuse
+            if has_rough:
+                delta_s = delta_s & ~is_rough
             # (Mosaic can't select between i1 vectors: express with logic ops)
             valid_s = (
                 (is_diffuse & valid_diff) | (is_con & valid_con) | is_die
