@@ -243,3 +243,67 @@ def test_inverse_rendering_recovers_roughness():
     recovered = float(get_param(out_scene, key))
     assert losses[-1] < losses[0] * 0.7, f"loss: {losses[0]:.3g}->{losses[-1]:.3g}"
     assert abs(recovered - 0.7) < 0.25, f"recovered roughness {recovered} != 0.7"
+
+
+def test_sharded_acquisition_matches_single_chip_stats():
+    """8-device psum-sharded ultrasound acquisition (SURVEY §2c RF-buffer
+    row): exact equality to the equivalent single-chip MC average built
+    from the same per-device seeds, and gradients flow through the psum."""
+    import numpy as np
+
+    from tpu_rt.integrator.ultrasound import simulate_acquisition
+    from tpu_rt.parallel.ultrasound import simulate_acquisition_sharded
+
+    z0 = 0.02
+    d = {
+        "type": "scene",
+        "integrator": {
+            "type": "ultrasound_integrator",
+            "max_depth": 2, "n_elements": 16, "time_samples": 1500,
+            "pitch": 0.0005, "angles": np.asarray([0.0], np.float32),
+        },
+        "sensor": {
+            "type": "ultrasound_sensor", "num_elements_lateral": 16,
+            "pitch": 0.0005, "radius": float("inf"),
+            "to_world": tpu_rt.ScalarTransform4f(),
+        },
+        "plate": {
+            "type": "rectangle",
+            "to_world": tpu_rt.ScalarTransform4f().translate([0, 0, z0])
+            @ tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+            @ tpu_rt.ScalarTransform4f().scale([0.04, 0.04, 1]),
+            "bsdf": {"type": "ultrasound_bsdf", "impedance": 7.8,
+                     "roughness": 0.4},
+        },
+    }
+    scene = tpu_rt.load_dict(d)
+    mesh = default_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == 8
+
+    ch_sh, tx_sh = simulate_acquisition_sharded(
+        scene, seed=5, rays_per_pair=8, mesh=mesh
+    )
+
+    # reference: average of the 8 per-device single-chip runs
+    acc = None
+    for i in range(n_dev):
+        ch_i, tx_i = simulate_acquisition(scene, seed=5 + i * 7919,
+                                          rays_per_pair=1)
+        acc = ch_i if acc is None else acc + ch_i
+    ch_ref = acc / n_dev
+    np.testing.assert_allclose(np.asarray(ch_sh), np.asarray(ch_ref),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(tx_sh), np.asarray(tx_i), atol=1e-12)
+
+    # gradient w.r.t. impedance flows through the sharded acquisition
+    def loss(params):
+        sc = scene.replace(bsdf_params=params)
+        ch, _ = simulate_acquisition_sharded(sc, seed=5, rays_per_pair=8,
+                                             mesh=mesh)
+        return jnp.sum(ch * ch)
+
+    g = jax.grad(loss)(scene.bsdf_params)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert abs(g[0, 0]) > 0  # impedance gradient is live

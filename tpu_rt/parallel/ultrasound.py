@@ -1,0 +1,58 @@
+"""Multi-chip ultrasound acquisition: shard_map + psum RF channel buffers.
+
+SURVEY.md §2c's TPU-native mapping covers BOTH grids: optical renders shard
+(pixel x spp) work (parallel/render.py); the acoustic acquisition shards the
+(angle x element x spp) megabatch.  Sample slices are split by
+samples-per-pair across a 1-D device mesh — every chip traces its slice
+through the full bounce loop, scatter-adds a local RF buffer, and one
+`psum` over ICI reduces the buffers (the dr.scatter_reduce + thread-pool
+analogue of /root/reference/CustomIntegrator.py:203,398, scaled out).
+
+Gradients flow through the psum in reverse, so sharded inverse rendering
+(the USMain.py:262-298 loop) works unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_rt.integrator.ultrasound import simulate_acquisition
+from tpu_rt.parallel.render import default_mesh
+from tpu_rt.scene.types import Scene
+
+
+def simulate_acquisition_sharded(scene: Scene, seed=0, rays_per_pair=8,
+                                 mesh: Mesh = None):
+    """Sharded acquisition: returns (channel_buf [A,E,T], tx_delays [A,E]).
+
+    Each device runs the full (angle x element) grid with
+    ceil(rays_per_pair / n_dev) samples per pair under its own RNG stream;
+    the per-chip RF buffers are psum-averaged.  With one device and the
+    same seed this is bit-identical to the single-chip path.
+    """
+    mesh = mesh or default_mesh()
+    n_dev = mesh.devices.size
+    rpp_local = -(-rays_per_pair // n_dev)
+
+    # distinct per-device streams; device 0 keeps the caller's seed so the
+    # n_dev == 1 case reduces to the single-chip function exactly
+    seeds = seed + jnp.arange(n_dev, dtype=jnp.int32) * 7919
+
+    def shard_fn(sc, seed_shard):
+        ch, tx = simulate_acquisition(
+            sc, seed=seed_shard[0], rays_per_pair=rpp_local
+        )
+        ch = jax.lax.psum(ch, "rays") / n_dev
+        return ch, tx
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("rays")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(scene, seeds)
