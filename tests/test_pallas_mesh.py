@@ -124,3 +124,77 @@ def test_fused_direct_scope_guard():
     """cbox (area lights, non-mesh) is out of the fused kernel's scope."""
     scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=16, spp=1)
     assert pallas_mesh.bake_direct_scene(scene) is None
+
+
+def test_fused_direct_kernel_authored_normals():
+    """The fused kernel interpolates AUTHORED vertex normals (teapot has
+    none, so that path needs its own coverage): a flat two-triangle quad
+    with vertex normals tilted toward +x must shade brighter on the side a
+    +x-offset light favors, matching the XLA renderer's interpolation."""
+    import numpy as np_
+
+    from tpu_rt.integrator.path import render as render_xla
+
+    # quad in the z=0 plane, vertex normals tilted: left verts toward -x,
+    # right verts toward +x (normalized)
+    t = 0.6
+    nl = np_.asarray([-t, 0, 1.0]) / np_.hypot(t, 1.0)
+    nr = np_.asarray([t, 0, 1.0]) / np_.hypot(t, 1.0)
+    verts = np_.asarray(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np_.float32
+    )
+    faces = np_.asarray([[0, 1, 2], [0, 2, 3]], np_.int32)
+    normals = np_.stack([nl, nr, nr, nl]).astype(np_.float32)
+
+    import os
+    import tempfile
+
+    obj = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    for v in verts:
+        obj.write("v %f %f %f\n" % tuple(v))
+    for n_ in normals:
+        obj.write("vn %f %f %f\n" % tuple(n_))
+    for f in faces + 1:
+        obj.write("f %d//%d %d//%d %d//%d\n" % (f[0], f[0], f[1], f[1], f[2], f[2]))
+    obj.close()
+
+    # pad the mesh with extra triangles so the cluster path engages
+    d = {
+        "type": "scene",
+        "integrator": {"type": "direct"},
+        "sensor": {
+            "type": "perspective", "fov": 60,
+            "to_world": tpu_rt.ScalarTransform4f().look_at(
+                origin=[0, 0, 3], target=[0, 0, 0], up=[0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 32, "height": 32,
+                     "rfilter": {"type": "box"}},
+        },
+        "quad": {"type": "obj", "filename": obj.name,
+                 "bsdf": {"type": "diffuse"}},
+        # far-away filler mesh to push the scene over the 192-prim cluster
+        # threshold (scene/build only builds cluster tables then)
+        "filler": {"type": "ply",
+                   "filename": "/root/reference/scenes/meshes/teapot.ply",
+                   "to_world": tpu_rt.ScalarTransform4f().translate([50, 0, 0]),
+                   "bsdf": {"type": "diffuse"}},
+        "light": {"type": "point", "position": [2, 0, 4], "intensity": 60.0},
+    }
+    scene = tpu_rt.load_dict(d)
+    os.unlink(obj.name)
+    assert scene.geometry.cl_tris is not None
+    baked = pallas_mesh.bake_direct_scene(scene)
+    assert baked is not None
+
+    imp = np.asarray(pallas_mesh.mesh_direct_render(scene, spp=4, seed=1))
+    imx = np.asarray(render_xla(scene, spp=4, seed=1, spp_per_pass=4))
+    # interpolated normals make the world-+x side brighter (the light sits
+    # at +x); the Mitsuba camera convention mirrors x, so world +x lands on
+    # the LEFT of the image.  Flat geometric normals would shade both sides
+    # nearly equally.
+    bright = imp[12:20, 4:12].mean()   # image-left = world +x
+    dim = imp[12:20, 20:28].mean()
+    assert bright > 1.3 * dim, (bright, dim)
+    # and the kernel agrees with the XLA interpolation
+    bx, dx_ = imx[12:20, 4:12].mean(), imx[12:20, 20:28].mean()
+    assert abs(bright - bx) / bx < 0.1
+    assert abs(dim - dx_) / max(dx_, 1e-9) < 0.2

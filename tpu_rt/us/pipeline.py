@@ -18,10 +18,27 @@ from tpu_rt.us.beamform import bmode_pipeline, grid_scan
 
 def us_render(scene: Scene, seed=0, rays_per_pair=1, visualize=False,
               x_bounds=(-0.04, 0.04), z_bounds=(0.001, 0.05),
-              dynamic_range=60.0):
-    """Returns (display_image [Nz, Nx], channel_buf, tx_delays)."""
+              dynamic_range=60.0, use_pallas=False):
+    """Returns (display_image [Nz, Nx], channel_buf, tx_delays).
+
+    ``use_pallas`` routes the acquisition through the Pallas megakernel
+    (ops/pallas_us.py, ~6-16x faster on chip) when the scene is in its
+    scope; keep False for jax.grad (the kernel has no VJP)."""
     us = scene.ultrasound
-    channel_buf, tx = simulate_acquisition(scene, seed=seed, rays_per_pair=rays_per_pair)
+    if use_pallas:
+        from tpu_rt.ops.pallas_us import bake_us_scene, simulate_acquisition_pallas
+
+        baked = bake_us_scene(scene)
+        if baked is not None:
+            channel_buf, tx = simulate_acquisition_pallas(
+                scene, seed=seed, rays_per_pair=rays_per_pair, baked=baked
+            )
+        else:
+            channel_buf, tx = simulate_acquisition(
+                scene, seed=seed, rays_per_pair=rays_per_pair
+            )
+    else:
+        channel_buf, tx = simulate_acquisition(scene, seed=seed, rays_per_pair=rays_per_pair)
 
     c = float(us.sound_speed)
     fc = float(us.frequency)
