@@ -447,7 +447,12 @@ def _mis(pdf_a, pdf_b):
     return jnp.where(pdf_a > 0.0, w, 0.0)
 
 
-def _build_kernel(bs: BakedScene):
+def _build_kernel(bs: BakedScene, raygen=None):
+    """raygen=None: rays arrive as (o, d) input planes.  raygen=dict(...):
+    camera rays are generated IN-KERNEL from the lane's pixel index plus
+    on-core jitter (the (rows,128)->(N,3) layout shuffle at the kernel/XLA
+    boundary cost ~0.4 ms of the 0.99 ms 512^2 pass); the kernel then also
+    outputs the jitter planes for the XLA reconstruction-filter splat."""
     n_lights = max(bs.n_lights, 1)
     inv_n_lights = 1.0 / n_lights
     has_lights = bs.n_lights > 0
@@ -456,20 +461,52 @@ def _build_kernel(bs: BakedScene):
     # scene actually contains a rough conductor.
     has_rough = any(bt == BSDF_ROUGH_CONDUCTOR for bt, _ in bs.bsdfs)
 
-    def kernel(seed_ref, ox, oy, oz, dx, dy, dz, lr, lg, lb, nrays,
-               *esc_refs):
-        o = (ox[:], oy[:], oz[:])
-        d = (dx[:], dy[:], dz[:])
-        shape = o[0].shape
+    def kernel(seed_ref, *refs):
+        if raygen is None:
+            ox, oy, oz, dx, dy, dz, lr, lg, lb, nrays, *esc_refs = refs
+            o = (ox[:], oy[:], oz[:])
+            d = (dx[:], dy[:], dz[:])
+            shape = o[0].shape
+        else:
+            lr, lg, lb, nrays, jx_out, jy_out, *esc_refs = refs
+            shape = lr.shape
         rng = _rng_init(
             seed_ref[0], pl.program_id(0).astype(jnp.uint32), shape
         )
         zeros = jnp.zeros(shape, jnp.float32)
         ones = jnp.ones(shape, jnp.float32)
 
+        if raygen is not None:
+            # pixel index from the lane position (row-major over the image)
+            # Mosaic iota must be integer-typed; cast afterwards
+            row = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+            idx = (pl.program_id(0).astype(jnp.float32) * float(shape[0])
+                   + row) * float(shape[1]) + col
+            W = float(raygen["W"])
+            py = jnp.floor(idx * (1.0 / W))
+            px = idx - py * W
+            rng, jx = _rng_next(rng)
+            rng, jy = _rng_next(rng)
+            u = (px + jx) * (1.0 / W)
+            v = (py + jy) * (1.0 / float(raygen["H"]))
+            cx = (2.0 * u - 1.0) * raygen["tfx"]
+            cy = (1.0 - 2.0 * v) * raygen["tfy"]
+            R = raygen["R"]  # rows of to_world[:3,:3]
+            d = _normalize((
+                R[0][0] * cx + R[0][1] * cy + R[0][2],
+                R[1][0] * cx + R[1][1] * cy + R[1][2],
+                R[2][0] * cx + R[2][1] * cy + R[2][2],
+            ))
+            og = raygen["origin"]
+            o = (og[0] + zeros, og[1] + zeros, og[2] + zeros)
+            in_image = idx < float(raygen["n_pix"])
+            jx_out[:] = jx
+            jy_out[:] = jy
+
         L = (zeros, zeros, zeros)
         thr = (ones, ones, ones)
-        active = ones > 0.0
+        active = (ones > 0.0) if raygen is None else in_image
         prev_pdf = ones
         prev_delta = active
         eta_scale = ones
@@ -929,6 +966,58 @@ def pallas_path_trace(bs: BakedScene, o, d, seed, tile_rows=8, interpret=False):
     return L, n_rays
 
 
+def pallas_raygen_trace(bs: BakedScene, camera, seed, tile_rows=8,
+                       interpret=False):
+    """Trace one full camera wave with IN-KERNEL ray generation + jitter.
+
+    Returns (L [N,3], jitter [N,2], n_rays) with N = H*W (pad lanes
+    stripped); L/jitter are in row-major pixel order.
+    """
+    H, W = camera.height, camera.width
+    n = H * W
+    lanes = 128
+    tile = tile_rows * lanes
+    pad = (-n) % tile
+    rows = (n + pad) // lanes
+    grid = rows // tile_rows
+
+    m = np.asarray(camera.to_world)
+    raygen = dict(
+        R=tuple(tuple(float(x) for x in m[i, :3]) for i in range(3)),
+        origin=tuple(float(x) for x in m[:3, 3]),
+        tfx=float(camera.tan_fov_x),
+        tfy=float(camera.tan_fov_y),
+        W=W, H=H, n_pix=n,
+    )
+    kernel = _build_kernel(bs, raygen=raygen)
+    block = pl.BlockSpec(
+        (tile_rows, lanes), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
+    )
+    n_out = 6 + (6 if bs.env_textured else 0)
+    out_shape = [jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * n_out
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[],
+        out_specs=[block] * n_out,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32))
+    lr_, lg_, lb_, nr_, jx_, jy_ = outs[:6]
+    L = jnp.stack([lr_.reshape(-1), lg_.reshape(-1), lb_.reshape(-1)], -1)[:n]
+    jit = jnp.stack([jx_.reshape(-1), jy_.reshape(-1)], -1)[:n]
+    n_rays = jnp.sum(nr_).astype(jnp.int32)
+    if bs.env_textured:
+        esc_d = jnp.stack([x.reshape(-1) for x in outs[6:9]], -1)[:n]
+        esc_thr = jnp.stack([x.reshape(-1) for x in outs[9:12]], -1)[:n]
+        return L, jit, n_rays, esc_d, esc_thr
+    return L, jit, n_rays
+
+
 # ---------------------------------------------------------------------------
 # Full-render entry
 # ---------------------------------------------------------------------------
@@ -983,25 +1072,19 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
         def one(carry, inputs):
             fv, fw, acc = carry
             key, seed_i = inputs
-            jitter = _jax.random.uniform(key, (n, 2))
-            o, d = _cam.sample_ray(c, xy_int + jitter)
-            if pad:
-                o = jnp.concatenate([o, jnp.zeros((pad, 3))], 0)
-                d = jnp.concatenate(
-                    [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0
-                )
-            out = pallas_path_trace(bs, o, d, seed_i, tile_rows=tile_rows,
-                                    interpret=interpret)
+            # raygen + jitter live IN the kernel; the jitter planes come
+            # back out for the reconstruction-filter splat
+            out = pallas_raygen_trace(bs, c, seed_i, tile_rows=tile_rows,
+                                      interpret=interpret)
             if bs.env_textured:
                 from tpu_rt.emitter import sample as _em
 
-                L, n_rays, esc_d, esc_thr = out
+                L, jitter, n_rays, esc_d, esc_thr = out
                 # deferred lat-long lookup for escaped rays (zero throughput
                 # where the ray never escaped)
                 L = L + esc_thr * _em.eval_env(scene, esc_d)
             else:
-                L, n_rays = out
-            L = L[:n]
+                L, jitter, n_rays = out
             ok = jnp.all(jnp.isfinite(L), axis=-1)
             fv, fw = _film.splat_aligned(
                 fv, fw, jitter.reshape(H, W, 2),
