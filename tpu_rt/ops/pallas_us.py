@@ -22,7 +22,6 @@ the cross-check in tests.
 
 from __future__ import annotations
 
-import functools
 import math
 from dataclasses import dataclass
 from typing import List, Tuple
@@ -94,10 +93,7 @@ def bake_us_scene(scene: Scene):
         if t not in (SPHERE, RECTANGLE, CONE):
             return None
 
-    # Reuse the optical baker's prim loop by faking a pass-through BSDF
-    # check: build prims directly here with the same layouts.
-    from tpu_rt.ops import pallas_path as pp
-
+    # Prim baking mirrors the optical baker's layouts (pallas_path).
     shape_bsdf = np.asarray(scene.shape_bsdf)
     shape_emitter = np.asarray(scene.shape_emitter)
     prims = []

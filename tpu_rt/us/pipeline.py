@@ -9,7 +9,6 @@ z in [0.1, 50] mm (:182-199), envelope-detect and 60 dB log-compress
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from tpu_rt.integrator.ultrasound import simulate_acquisition
 from tpu_rt.scene.types import Scene
