@@ -8,14 +8,19 @@ compile-time scalar constants (the wavefront-vs-megakernel tradeoff from
 PAPERS.md, landed on the megakernel side because small scenes fit).
 
 Scope (dispatch falls back to the XLA path otherwise):
-  * <= _MAX_PRIMS primitives: triangles + spheres + rectangles
+  * <= _MAX_PRIMS primitives: triangles + spheres + rectangles + cones
   * BSDFs: diffuse, smooth dielectric, smooth conductor, rough conductor
-  * emitters: area lights (triangles), point lights, constant (1x1)
-    environments; textured envmaps fall back to XLA
-  * geometric normals (cbox meshes carry none), no textures
+    (with NEE-side MIS), polarizer/null delta pass-through
+  * emitters: area lights (triangles), point lights, constant and TEXTURED
+    environments (escape direction/throughput come out of the kernel; the
+    lat-long lookup happens in XLA)
+  * geometric normals (cbox meshes carry none), no surface textures
+  * camera rays + sub-pixel jitter are generated IN-KERNEL from baked
+    camera constants (pallas_raygen_trace); the jitter planes come back
+    out for the XLA reconstruction-filter splat
 
 Everything is component-SoA: x/y/z as separate (TM, 128) f32 tiles, the
-layout the VPU wants.  RNG is the on-core PRNG (pltpu.prng_random_bits),
+layout the VPU wants.  RNG is a counter-based SplitMix32 hash per lane,
 seeded per tile.
 """
 
