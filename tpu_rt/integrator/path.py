@@ -125,7 +125,10 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
             nee_possible = hit & (ds.pdf > 0.0) & (depth + 2 <= depth_cap)
             n_rays = n_rays + jnp.sum(nee_possible.astype(jnp.int32))
             wo_nee = to_local(si.n, sfr, tfr, ds.d)
-            f_nee, pdf_bsdf_nee = bsdf.eval_pdf(b_type, b_params, wi_local, wo_nee, nee_possible)
+            f_nee, pdf_bsdf_nee = bsdf.eval_pdf(
+                b_type, b_params, wi_local, wo_nee, nee_possible,
+                present=scene.bsdf_types_present or None,
+            )
             shadow_o = si.spawn_origin(ds.d)
             occluded = trace.ray_test(
                 scene.geometry, shadow_o, ds.d, tmin=trace.RAY_EPS, tmax=ds.dist * (1.0 - 1e-3)
@@ -138,7 +141,8 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
             L = L + jnp.where(vis[:, None], contrib, 0.0)
 
         # ---- BSDF sampling & bounce ---------------------------------------------
-        bs = bsdf.sample(b_type, b_params, wi_local, s_all[:, 4], s_all[:, 5:7], hit)
+        bs = bsdf.sample(b_type, b_params, wi_local, s_all[:, 4], s_all[:, 5:7],
+                         hit, present=scene.bsdf_types_present or None)
         d_new = to_world(si.n, sfr, tfr, bs.wo)
         o_new = si.spawn_origin(d_new)
 

@@ -291,7 +291,10 @@ def stokes_trace(scene: Scene, o, d, key, max_depth=None,
             ds = emitter.sample_direct(scene, si.p, s_l[:, 0], s_l[:, 1:4], hit)
             nee_possible = hit & (ds.pdf > 0.0) & (depth + 2 <= depth_cap)
             wo_nee = to_local(si.n, sfr, tfr, ds.d)
-            f_nee, pdf_bsdf_nee = bsdf.eval_pdf(b_type, b_params, wi_local, wo_nee, nee_possible)
+            f_nee, pdf_bsdf_nee = bsdf.eval_pdf(
+                b_type, b_params, wi_local, wo_nee, nee_possible,
+                present=scene.bsdf_types_present or None,
+            )
             occluded = trace.ray_test(
                 scene.geometry, si.spawn_origin(ds.d), ds.d,
                 tmin=trace.RAY_EPS, tmax=ds.dist * (1.0 - 1e-3),
@@ -306,7 +309,8 @@ def stokes_trace(scene: Scene, o, d, key, max_depth=None,
             S = add_emission(S, T_nee, jnp.ones_like(scalar_nee), vis, jnp.ones((n,)))
 
         # --- BSDF sampling & Mueller chain ------------------------------------
-        bs = bsdf.sample(b_type, b_params, wi_local, s_all[:, 4], s_all[:, 5:7], hit)
+        bs = bsdf.sample(b_type, b_params, wi_local, s_all[:, 4], s_all[:, 5:7],
+                         hit, present=scene.bsdf_types_present or None)
         d_new = to_world(si.n, sfr, tfr, bs.wo)
         o_new = si.spawn_origin(d_new)
 

@@ -494,6 +494,7 @@ class _Builder:
                 else np.zeros((0, 4, 4), np.float32)
             ),
             bsdf_type=jnp.asarray(bsdf_type),
+            bsdf_types_present=tuple(sorted(set(int(t) for t in bsdf_type))),
             bsdf_params=jnp.asarray(bsdf_params),
             camera=self.camera,
             ultrasound=us,

@@ -230,6 +230,9 @@ class Scene:
     camera: Optional[Camera] = None
     ultrasound: Optional[UltrasoundConfig] = None
 
+    # Static set of BSDF type codes present — lets the SoA dispatch skip
+    # absent lobes at trace time (bsdf/eval.py ``present`` argument).
+    bsdf_types_present: tuple = flax.struct.field(pytree_node=False, default=())
     integrator: int = flax.struct.field(pytree_node=False, default=INTEGRATOR_PATH)
     max_depth: int = flax.struct.field(pytree_node=False, default=-1)
     rr_depth: int = flax.struct.field(pytree_node=False, default=5)
