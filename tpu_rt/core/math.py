@@ -292,3 +292,23 @@ def luminance(rgb):
     return (
         rgb[..., 0] * 0.212671 + rgb[..., 1] * 0.715160 + rgb[..., 2] * 0.072169
     )
+
+
+def small_table_lookup(table, idx, max_unroll=32):
+    """``table[idx]`` as a static select chain when the table is small.
+
+    XLA lowers tiny-table dynamic gathers on TPU pathologically (~0.7 ms
+    for 262k lookups from an (8, 3) table on v5e, measured round 2); a
+    masked select chain is ~100x faster.  Falls back to a real gather for
+    big tables, where gathers win.  Callers must pre-clip ``idx`` into
+    range (out-of-range lanes produce zeros here instead of clamping).
+    """
+    K = table.shape[0]
+    if K == 0 or K > max_unroll:
+        return table[idx]
+    extra = (1,) * (table.ndim - 1)
+    out = jnp.zeros(idx.shape + table.shape[1:], table.dtype)
+    for k in range(K):
+        m = (idx == k).reshape(idx.shape + extra)
+        out = jnp.where(m, table[k], out)
+    return out

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 import flax.struct
 
-from tpu_rt.core.math import dot, normalize, transform_vector, vec3
+from tpu_rt.core.math import small_table_lookup, dot, normalize, transform_vector, vec3
 from tpu_rt.core.warps import square_to_uniform_triangle
 from tpu_rt.scene.types import Emitters, Scene
 
@@ -69,8 +69,8 @@ def sample_direct(scene: Scene, ref_p, s_light, s_tri, active):
     if em.n_area > 0:
         is_area = light_idx < em.n_area
         e = jnp.clip(light_idx, 0, em.n_area - 1)
-        lo = em.em_offsets[e]
-        hi = em.em_offsets[e + 1]
+        lo = small_table_lookup(em.em_offsets, e)
+        hi = small_table_lookup(em.em_offsets, e + 1)
         # per-emitter CDF search over its slice (global table is small)
         ET = em.em_tri_cdf.shape[0]
         idxs = jnp.arange(ET)[None, :]
@@ -78,18 +78,20 @@ def sample_direct(scene: Scene, ref_p, s_light, s_tri, active):
         passed = in_slice & (em.em_tri_cdf[None, :] < s_tri[:, 0:1])
         ti = lo + jnp.sum(passed.astype(jnp.int32), axis=1)
         ti = jnp.minimum(ti, hi - 1)
-        prim = em.em_tri_prim[jnp.clip(ti, 0, ET - 1)]
+        # two-step: gather the FEW emissive-tri rows once (cheap — ET
+        # indices into the big table), then select-chain per lane
+        ti_c = jnp.clip(ti, 0, ET - 1)
         geom = scene.geometry
-        p0 = geom.tri_p0[prim]
-        e1 = geom.tri_e1[prim]
-        e2 = geom.tri_e2[prim]
+        p0 = small_table_lookup(geom.tri_p0[em.em_tri_prim], ti_c)
+        e1 = small_table_lookup(geom.tri_e1[em.em_tri_prim], ti_c)
+        e2 = small_table_lookup(geom.tri_e2[em.em_tri_prim], ti_c)
         bc = square_to_uniform_triangle(s_tri[:, 1:3])
         p_a = p0 + bc[:, 0:1] * e1 + bc[:, 1:2] * e2
         n_a = jnp.cross(e1, e2)
         n_len = jnp.sqrt(jnp.maximum(jnp.sum(n_a * n_a, -1, keepdims=True), 1e-24))
         n_a = n_a / n_len
-        pdf_a = 1.0 / jnp.maximum(em.area_total[e], 1e-20)  # uniform over shape
-        rad_a = em.area_radiance[e]
+        pdf_a = 1.0 / jnp.maximum(small_table_lookup(em.area_total, e), 1e-20)
+        rad_a = small_table_lookup(em.area_radiance, e)
 
         p = jnp.where(is_area[:, None], p_a, p)
         nrm = jnp.where(is_area[:, None], n_a, nrm)
@@ -100,7 +102,7 @@ def sample_direct(scene: Scene, ref_p, s_light, s_tri, active):
     if em.n_point > 0:
         is_pt = (light_idx >= em.n_area) & (light_idx < em.n_area + em.n_point)
         pi = jnp.clip(light_idx - em.n_area, 0, em.n_point - 1)
-        p = jnp.where(is_pt[:, None], em.point_pos[pi], p)
+        p = jnp.where(is_pt[:, None], small_table_lookup(em.point_pos, pi), p)
         delta = delta | is_pt
 
     # --- envmap ------------------------------------------------------------------
@@ -125,7 +127,7 @@ def sample_direct(scene: Scene, ref_p, s_light, s_tri, active):
     if em.n_point > 0:
         is_pt = delta
         pi = jnp.clip(light_idx - em.n_area, 0, max(em.n_point - 1, 0))
-        rad_pt = em.point_intensity[pi] / dist2[:, None]
+        rad_pt = small_table_lookup(em.point_intensity, pi) / dist2[:, None]
         radiance = jnp.where(is_pt[:, None], rad_pt, radiance)
         pdf = jnp.where(is_pt, 1.0, pdf)
 
@@ -204,10 +206,10 @@ def pdf_direct_area(scene: Scene, si_shape, d, dist, cos_l):
     if em.n_area == 0:
         return jnp.zeros(si_shape.shape, jnp.float32)
     L = max(em.n_lights, 1)
-    e = scene.shape_emitter[jnp.maximum(si_shape, 0)]
+    e = small_table_lookup(scene.shape_emitter, jnp.maximum(si_shape, 0))
     valid = (si_shape >= 0) & (e >= 0)
     e_c = jnp.clip(e, 0, max(em.n_area - 1, 0))
-    pdf_area = 1.0 / jnp.maximum(em.area_total[e_c], 1e-20)
+    pdf_area = 1.0 / jnp.maximum(small_table_lookup(em.area_total, e_c), 1e-20)
     pdf_sa = pdf_area * dist * dist / jnp.maximum(cos_l, 1e-6)
     return jnp.where(valid & (cos_l > 1e-6), pdf_sa / L, 0.0)
 
@@ -252,7 +254,8 @@ def eval_area(scene: Scene, si_shape, cos_l):
     em = scene.emitters
     if em.n_area == 0:
         return jnp.zeros(si_shape.shape + (3,), jnp.float32)
-    e = scene.shape_emitter[jnp.maximum(si_shape, 0)]
+    e = small_table_lookup(scene.shape_emitter, jnp.maximum(si_shape, 0))
     valid = (si_shape >= 0) & (e >= 0) & (cos_l > 0.0)
     e_c = jnp.clip(e, 0, em.n_area - 1)
-    return jnp.where(valid[..., None], em.area_radiance[e_c], 0.0)
+    return jnp.where(valid[..., None],
+                     small_table_lookup(em.area_radiance, e_c), 0.0)

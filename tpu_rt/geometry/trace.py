@@ -196,9 +196,14 @@ def _trace_bruteforce(geom: Geometry, o, d, tmin, tmax) -> Hit:
     )
 
 
-def _trace_chunked(geom: Geometry, o, d, tmin, tmax) -> Hit:
-    """Triangles in lax.scan chunks of CHUNK wide intersections (+ analytic
-    prims in one wide sweep), carrying the running best hit."""
+def _trace_chunked(geom: Geometry, o, d, tmin, tmax, chunk=CHUNK) -> Hit:
+    """Triangles in lax.scan chunks of ``chunk`` wide component-form
+    intersections (+ analytic prims in one wide sweep), carrying the
+    running best hit.
+
+    ``chunk`` may be lowered (or raised to T for a single no-padding scan
+    step); on small scenes the vector-form _trace_bruteforce measured
+    FASTER end-to-end despite more counted bytes, so the dispatch keeps it."""
     tmax = jnp.minimum(tmax, 0.99 * INF)
     shp = o.shape[:-1]
     o2 = o.reshape(-1, 1, 3)
@@ -214,13 +219,14 @@ def _trace_chunked(geom: Geometry, o, d, tmin, tmax) -> Hit:
 
     T = geom.n_tris
     if T > 0:
-        pad = (-T) % CHUNK
+        CHUNK_ = min(chunk, max(T, 1))
+        pad = (-T) % CHUNK_
         def padded(x):
             return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
 
-        p0 = padded(geom.tri_p0).reshape(-1, CHUNK, 3)
-        e1 = padded(geom.tri_e1).reshape(-1, CHUNK, 3)
-        e2 = padded(geom.tri_e2).reshape(-1, CHUNK, 3)
+        p0 = padded(geom.tri_p0).reshape(-1, CHUNK_, 3)
+        e1 = padded(geom.tri_e1).reshape(-1, CHUNK_, 3)
+        e2 = padded(geom.tri_e2).reshape(-1, CHUNK_, 3)
         n_chunks = p0.shape[0]
 
         ox, oy, oz = o.reshape(-1, 3).T
@@ -267,7 +273,7 @@ def _trace_chunked(geom: Geometry, o, d, tmin, tmax) -> Hit:
                 jnp.where(closer, jnp.take_along_axis(v, idx, axis=1)[:, 0], bv),
             ), None
 
-        bases = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
+        bases = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK_
         (best_t, best_prim, best_u, best_v), _ = jax.lax.scan(
             body, (best_t, best_prim, best_u, best_v), (p0, e1, e2, bases)
         )
@@ -434,6 +440,10 @@ def _trace_mesh_pallas(geom: Geometry, o, d, tmin, tmax) -> Hit:
 def ray_intersect_hit(geom: Geometry, o, d, tmin=RAY_EPS, tmax=INF) -> Hit:
     P = geom.n_tris + geom.n_analytic
     if P <= BRUTE_FORCE_MAX_PRIMS:
+        # NOTE round-2 measured the component-form single-step sweep
+        # (_trace_chunked with chunk=T) at 323 ms vs 261 ms per cbox 512^2
+        # pass for the whole path tracer — the (N, P, 3) vector form fuses
+        # BETTER here despite its larger op count.  Keep the vector form.
         return _trace_bruteforce(geom, o, d, tmin, tmax)
     if _pallas_mesh_available(geom):
         return _trace_mesh_pallas(geom, o, d, tmin, tmax)

@@ -107,9 +107,12 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
         sfr, tfr = coordinate_system(si.n)
         wi_local = to_local(si.n, sfr, tfr, si.wi)
 
-        b_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
-        b_type = scene.bsdf_type[jnp.clip(b_idx, 0, scene.bsdf_type.shape[0] - 1)]
-        b_params = scene.bsdf_params[jnp.clip(b_idx, 0, scene.bsdf_params.shape[0] - 1)]
+        from tpu_rt.core.math import small_table_lookup
+
+        b_idx = small_table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
+        b_c = jnp.clip(b_idx, 0, scene.bsdf_type.shape[0] - 1)
+        b_type = small_table_lookup(scene.bsdf_type, b_c)
+        b_params = small_table_lookup(scene.bsdf_params, b_c)
 
         # One fused RNG draw per bounce: [0:4] NEE, [4] lobe, [5:7] bsdf 2D,
         # [7] Russian roulette.

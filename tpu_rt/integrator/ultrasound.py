@@ -172,8 +172,12 @@ def simulate_acquisition(scene: Scene, seed=0, rays_per_pair=1,
         # Acoustic BSDF sample in the local frame.
         sfr, tfr = coordinate_system(si.n)
         wi_local = to_local(si.n, sfr, tfr, si.wi)
-        b_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
-        b_params = scene.bsdf_params[jnp.clip(b_idx, 0, scene.bsdf_params.shape[0] - 1)]
+        from tpu_rt.core.math import small_table_lookup
+
+        b_idx = small_table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
+        b_params = small_table_lookup(
+            scene.bsdf_params, jnp.clip(b_idx, 0, scene.bsdf_params.shape[0] - 1)
+        )
         s1 = jax.random.uniform(k_b1, (n,))
         s2 = jax.random.uniform(k_b2, (n, 2))
         bs = acoustic.sample(b_params, wi_local, s1, s2, hit)
