@@ -21,6 +21,10 @@ def main():
     from tpu_rt.integrator.path import render
     from tpu_rt.ops.pallas_path import bake_scene, render_pallas
 
+    # The megakernel is reached through the PUBLIC dispatch (tpu_rt.render)
+    # since round 3 — the bench exercises the same path a user gets.
+    render_public = tpu_rt.render
+
     res = int(os.environ.get("BENCH_RES", "512"))
     spp = int(os.environ.get("BENCH_SPP", "256"))
     # 64 spp per jit dispatch: the tunnel's per-dispatch latency is ~35 ms,
@@ -52,7 +56,7 @@ def main():
             img = render_fn(scene, spp=spp, seed=rep)
             jax.block_until_ready(img)
             times.append(time.perf_counter() - t0)
-            rays = counter()
+            rays = int(counter())  # lazy device count -> host int (untimed)
         return rays, sorted(times)[len(times) // 2]
 
     # Optional device trace (tpu_rt.utils.profiling; BENCH_PROFILE=<dir>)
@@ -68,7 +72,7 @@ def main():
     with prof_ctx:
         if use_pallas:
             total_rays, dt = timed(
-                lambda sc, spp, seed: render_pallas(sc, spp=spp, seed=seed),
+                lambda sc, spp, seed: render_public(sc, spp=spp, seed=seed),
                 lambda: render_pallas.last_ray_count,
             )
         else:
@@ -98,7 +102,7 @@ def main():
             camera=scene128.camera.replace(filter_type=0)
         )
         if use_pallas:
-            img128 = np.asarray(render_pallas(scene128, spp=2048, seed=9))
+            img128 = np.asarray(render_public(scene128, spp=2048, seed=9))
         else:
             img128 = np.asarray(render(scene128, spp=512, seed=9))
 

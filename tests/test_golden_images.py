@@ -149,7 +149,7 @@ def test_cbox_full_gi_vs_independent_golden():
     img = np.asarray(render(scene, spp=768, seed=11, spp_per_pass=64))
 
     # block-average both to 16x16 so per-pixel MC noise (golden ~8k spp,
-    # render 384 spp) divides out and the comparison measures transport bias
+    # render 768 spp) divides out and the comparison measures transport bias
     g16 = golden.reshape(16, 8, 16, 8, 3).mean(axis=(1, 3))
     i16 = img.reshape(16, 4, 16, 4, 3).mean(axis=(1, 3))
     rel = np.sqrt(((i16 - g16) ** 2).mean()) / g16.mean()

@@ -20,6 +20,21 @@ def render(scene: Scene, spp=None, seed=0, **kwargs):
         from tpu_rt.integrator.path import render as render_path
 
         max_depth = 2 if scene.integrator == INTEGRATOR_DIRECT else None
+        if scene.integrator == INTEGRATOR_PATH and set(kwargs) <= {"spp_per_pass"}:
+            # The Pallas megakernel IS the product path for in-scope path
+            # scenes (mi.render semantics: the fastest integrator is the
+            # default — /root/reference/USMain.py:99, SURVEY §3.3).  It runs
+            # on TPU backends, or in interpret mode under the CPU test
+            # conftest; anything out of kernel scope falls through to the
+            # XLA wavefront tracer.
+            from tpu_rt.ops import pallas_path
+
+            if pallas_path.available():
+                baked = pallas_path.bake_scene(scene)
+                if baked is not None:
+                    return pallas_path.render_pallas(
+                        scene, spp=spp, seed=seed, baked=baked, **kwargs
+                    )
         if scene.integrator == INTEGRATOR_DIRECT and not kwargs:
             # Fused direct-illumination mesh megakernel (trace + shade +
             # shadow rays on-core) when the scene is in scope and a Pallas

@@ -152,7 +152,23 @@ def _stokes_passes(scene, film_vals, film_wts, keys, max_depth,
 
 def render_stokes(scene: Scene, spp=None, seed=0, max_depth=None,
                   spp_per_pass=32):
-    """Full polarized render.  Returns (H, W, 4, 3) Stokes images."""
+    """Full polarized render.  Returns (H, W, 4, 3) Stokes images.
+
+    In-scope scenes (no polarizer BSDF, no textured env) run the Mueller
+    megakernel (tpu_rt.ops.pallas_path.render_stokes_pallas) on TPU or in
+    interpret mode; everything else — notably true polarizer transport —
+    uses this module's XLA wavefront tracer.
+    """
+    if max_depth is None:
+        from tpu_rt.ops import pallas_path as pp
+
+        if pp.available():
+            bs = pp.bake_scene(scene)
+            if pp.stokes_in_scope(bs):
+                return pp.render_stokes_pallas(
+                    scene, spp=spp, seed=seed, baked=bs,
+                    spp_per_pass=spp_per_pass,
+                )
     c = scene.camera
     spp = c.spp if spp is None else spp
     H, W = c.height, c.width

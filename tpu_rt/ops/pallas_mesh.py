@@ -725,7 +725,12 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
     spp = c.spp if spp is None else spp
     H, W = c.height, c.width
 
-    key = (id(g.cl_tris), tuple(lights), H, W, tm, bool(interpret),
+    # Content-derived statics only (ADVICE r2: id() values are recycled
+    # after GC, so an id-keyed entry could serve a kernel compiled for the
+    # wrong n_clusters).  Everything the traced fn closes over or bakes
+    # into the kernel shape-wise is here; the table VALUES are arguments.
+    key = (tuple(g.cl_tris.shape), tuple(g.cl_bounds.shape),
+           tuple(shade.shape), tuple(lights), H, W, tm, bool(interpret),
            c.filter_type)
     fn = _DIRECT_FN_CACHE.get(key)
     if fn is None:

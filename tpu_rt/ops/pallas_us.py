@@ -451,10 +451,16 @@ def simulate_acquisition_pallas(scene: Scene, seed=0, rays_per_pair=1,
     angle_pad = jnp.concatenate(
         [angle_idx, jnp.zeros((pad,), angle_idx.dtype)], 0
     ) if pad else angle_idx
+    # Pad lanes (o=0, d=+z) can genuinely hit geometry; don't rely on the
+    # implementation-defined out-of-range f32->int32 cast of their huge
+    # negative tx_delay-derived time (ADVICE r2) — mask them out explicitly
+    # and clamp t_f into a representable range before the cast.
+    lane_valid = jnp.arange(rows * lanes) < n
     for depth in range(D):
-        press = outs[3 * depth].reshape(-1)
-        t_f = outs[3 * depth + 1].reshape(-1)
-        recv = outs[3 * depth + 2].reshape(-1).astype(jnp.int32)
+        press = jnp.where(lane_valid, outs[3 * depth].reshape(-1), 0.0)
+        t_f = jnp.clip(outs[3 * depth + 1].reshape(-1), -2.0, float(T) + 2.0)
+        recv = jnp.clip(outs[3 * depth + 2].reshape(-1).astype(jnp.int32),
+                        0, E - 1)
         t0 = jnp.floor(t_f)
         w1 = t_f - t0
         t0i = t0.astype(jnp.int32)
