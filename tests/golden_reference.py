@@ -71,6 +71,55 @@ class Quad:
         return np.broadcast_to(self.n, p.shape)
 
 
+class TriSoup:
+    """Vectorized triangle batch (one intersect over all tris at once) —
+    Tri-per-object looping is too slow for thousands of triangles."""
+
+    def __init__(self, p0, e1, e2, albedo):
+        self.p0 = np.asarray(p0, np.float64)          # (T, 3)
+        self.e1 = np.asarray(e1, np.float64)
+        self.e2 = np.asarray(e2, np.float64)
+        self.albedo = np.asarray(albedo, np.float64)  # (3,) shared
+        n = np.cross(self.e1, self.e2)
+        self._n = n / np.maximum(
+            np.linalg.norm(n, axis=-1, keepdims=True), 1e-20
+        )
+        self._last_idx = None
+
+    def intersect(self, o, d, chunk=128):
+        # o, d: (..., 3); broadcast against (T, 3), chunked over rays to
+        # bound the (chunk, T, 3) temporaries
+        flat_o = np.broadcast_to(o, d.shape).reshape(-1, 3)
+        flat_d = d.reshape(-1, 3)
+        n = flat_o.shape[0]
+        best = np.empty(n)
+        idx = np.empty(n, np.int64)
+        for s0 in range(0, n, chunk):
+            co = flat_o[s0:s0 + chunk, None]
+            cd = flat_d[s0:s0 + chunk, None]
+            pv = np.cross(cd, self.e2[None])
+            det = np.sum(self.e1[None] * pv, -1)
+            inv = 1.0 / np.where(np.abs(det) < 1e-12, 1e-12, det)
+            tv = co - self.p0[None]
+            u = np.sum(tv * pv, -1) * inv
+            qv = np.cross(tv, self.e1[None])
+            v = np.sum(cd * qv, -1) * inv
+            t = np.sum(self.e2[None] * qv, -1) * inv
+            ok = (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-5)
+            t = np.where(ok, t, np.inf)
+            ii = np.argmin(t, axis=-1)
+            idx[s0:s0 + chunk] = ii
+            best[s0:s0 + chunk] = t[np.arange(t.shape[0]), ii]
+        # normal() reads the index of the PRIMARY intersect; render_direct
+        # snapshots normals right after the primary closest() pass, before
+        # any occlusion query clobbers this
+        self._last_idx = idx.reshape(d.shape[:-1])
+        return best.reshape(d.shape[:-1])
+
+    def normal(self, p):
+        return self._n[self._last_idx]
+
+
 def render_direct_aa(shapes, point_lights, width, height, cam_origin,
                      cam_target, cam_up, fov_deg, light_grid=8,
                      env_radiance=None, ss=4):
@@ -84,21 +133,25 @@ def render_direct_aa(shapes, point_lights, width, height, cam_origin,
 
 
 def render_direct(shapes, point_lights, width, height, cam_origin, cam_target,
-                  cam_up, fov_deg, light_grid=8, env_radiance=None):
+                  cam_up, fov_deg, light_grid=8, env_radiance=None,
+                  fov_y_deg=None):
     """Direct-illumination render.  point_lights: list of (pos, intensity).
     Area lights are Quads with emission set; sampled on a light_grid^2 grid.
+    fov_y_deg: vertical fov for non-square films (default: == fov_deg).
     Returns (H, W, 3) float64."""
     cam_origin = np.asarray(cam_origin, np.float64)
     d = _normalize(np.asarray(cam_target, np.float64) - cam_origin)
     left = _normalize(np.cross(np.asarray(cam_up, np.float64), d))
     up = np.cross(d, left)
     tan_half = np.tan(np.radians(fov_deg) / 2)
+    tan_half_y = (tan_half if fov_y_deg is None
+                  else np.tan(np.radians(fov_y_deg) / 2))
 
     ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
     u = (xs + 0.5) / width
     v = (ys + 0.5) / height
     dir_cam_x = (2 * u - 1) * tan_half
-    dir_cam_y = (1 - 2 * v) * tan_half
+    dir_cam_y = (1 - 2 * v) * tan_half_y
     dirs = _normalize(
         dir_cam_x[..., None] * left + dir_cam_y[..., None] * up + d
     )
@@ -128,6 +181,10 @@ def render_direct(shapes, point_lights, width, height, cam_origin, cam_target,
     hit = np.isfinite(t)
     p = o + np.where(hit, t, 0)[..., None] * dirs
 
+    # snapshot per-shape normals now: TriSoup.normal depends on its last
+    # intersect call, which later occlusion queries overwrite
+    normals = [s.normal(p) for s in shapes]
+
     img = np.zeros(dirs.shape)
     if env_radiance is not None:
         img[~hit] = env_radiance
@@ -136,7 +193,7 @@ def render_direct(shapes, point_lights, width, height, cam_origin, cam_target,
         m = hit & (idx == i)
         if not m.any():
             continue
-        n = s.normal(p)
+        n = normals[i]
         n = np.where(np.sum(n * dirs, -1, keepdims=True) > 0, -n, n)
         # directly visible emission
         if isinstance(s, Quad) and s.emission is not None:

@@ -72,7 +72,7 @@ def test_polarizers(ref_scenes):
 
 def test_shadow_art(ref_scenes):
     s = tpu_rt.load_file(os.path.join(ref_scenes, "shadow_art.xml"))
-    assert s.integrator == INTEGRATOR_DIRECT  # direct_projective degrades
+    assert s.integrator == INTEGRATOR_DIRECT_PROJECTIVE
     assert s.emitters.n_area == 2
     assert s.geometry.n_tris > 100  # tessellated bsplinecurve + 2 light quads
     assert s.camera.width == 256 and s.camera.height == 128

