@@ -57,12 +57,13 @@ CLUSTER = 128          # triangles per cluster (lane dim)
 # 64 clusters = 288 KiB (SMEM is 1 MiB on v5e; >=128 clusters OOMs).
 SEGMENT_C = 64
 CHUNK_C = 16           # cluster-count padding granularity
-# Ray-tile rows: 32 rows x 128 lanes = 4096 rays/block.  Measured on v5e
-# (teapot, 512^2 primary rays, chained timing): tm=32 beats tm=8 (2.16 vs
-# 5.2 ms/sweep) by amortizing the per-cluster cull/branch over more rays;
-# tm=64 loses cull selectivity.  With 64x64-pixel tile-ordered raygen one
-# block = one screen tile -> 152M rays/s vs 90M for scanline order.
-DEFAULT_TM = 32
+# Ray-tile rows: 16 rows x 128 lanes = 2048 rays/block.  Measured on v5e
+# (512^2 tile-ordered primary rays, slope timing, tools/bench_mesh.py,
+# superclusters on): bunny tm=8/16/32 = 20.8/30.1/23.3M rays/s and teapot
+# tm=16 87.4M vs tm=32 79.5M — the smaller tile footprint culls more
+# clusters than the extra per-cluster branch overhead costs (round 2 only
+# compared 32 vs 8 and picked 32).
+DEFAULT_TM = 16
 # Superclusters: groups of 8 consecutive clusters (treelet order keeps them
 # spatially coherent) get a merged AABB tested BEFORE the per-cluster slab
 # tests, so a dead region costs 1 box test instead of 8 (VERDICT r2 #5:
