@@ -64,11 +64,6 @@ CHUNK_C = 16           # cluster-count padding granularity
 # clusters than the extra per-cluster branch overhead costs (round 2 only
 # compared 32 vs 8 and picked 32).
 DEFAULT_TM = 16
-# Superclusters: groups of 8 consecutive clusters (treelet order keeps them
-# spatially coherent) get a merged AABB tested BEFORE the per-cluster slab
-# tests, so a dead region costs 1 box test instead of 8 (VERDICT r2 #5:
-# bunny-class meshes were slab-test bound at 543 clusters).
-SUPER_C = 8
 _BIG = 1e8             # finite miss sentinel (see geometry.trace.INF)
 
 # Tests on the CPU backend set this to run the kernel in interpret mode.
@@ -169,7 +164,10 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
         taken from it.
     Returns dict:
       tris:   (Cp, 9, 128) f32 — components (p0x..p0z, e1x..e1z, e2x..e2z)
-      bounds: (Cp, 8) f32 — cluster AABB (minx,miny,minz,maxx,maxy,maxz,0,0)
+      bounds: (Cp, 8) f32 — cluster AABB (minx,miny,minz,maxx,maxy,maxz,
+              n_real_tris, 0); slot 6 carries the unpadded triangle count so
+              kernels sweep only the live lanes (treelet clusters average
+              ~87/128 full — bunny pads were 32% of sweep work)
       prim:   (Cp * 128,) i32 — local id -> global triangle id (0 for pads;
               pads are degenerate tris that can never hit)
       where Cp is the cluster count padded up to a multiple of CHUNK_C.
@@ -223,8 +221,11 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
         bmin[c] = allv.min(axis=0)
         bmax[c] = allv.max(axis=0)
 
+    counts = np.zeros((Cp, 1), np.float32)
+    for c, ids in enumerate(groups):
+        counts[c, 0] = ids.shape[0]
     bounds = np.concatenate(
-        [bmin, bmax, np.zeros((Cp, 2), np.float32)], axis=1
+        [bmin, bmax, counts, np.zeros((Cp, 1), np.float32)], axis=1
     ).astype(np.float32)
 
     return {
@@ -239,8 +240,11 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(sc_bounds_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
             tmax_ref, t_out, lid_out, u_out, v_out, *, tmin, n_clusters):
+    # Hoisted: pl.program_id cannot be lowered inside fori bodies in
+    # interpret mode (r3 note).
+    pid = pl.program_id(0)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
 
@@ -340,50 +344,88 @@ def _kernel(sc_bounds_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                     jnp.where(ok, v, bv),
                 )
 
-            return jax.lax.fori_loop(0, CLUSTER // 2, tri_body, best)
+            # Sweep only the live lanes: treelet clusters average ~87/128
+            # real tris (pads at the tail can never hit — degenerate, t=0).
+            n_it = (bounds_ref[c, 6].astype(jnp.int32) + 1) // 2
+            return jax.lax.fori_loop(0, n_it, tri_body, best)
 
         return jax.lax.cond(live, process, lambda b: b, best)
 
-    if n_clusters % SUPER_C == 0 and n_clusters > SUPER_C:
-        # two-level cull: supercluster box first, then its 8 clusters
-        def sc_body(si, best):
-            sx0 = sc_bounds_ref[si, 0]
-            sy0 = sc_bounds_ref[si, 1]
-            sz0 = sc_bounds_ref[si, 2]
-            sx1 = sc_bounds_ref[si, 3]
-            sy1 = sc_bounds_ref[si, 4]
-            sz1 = sc_bounds_ref[si, 5]
-            best_t = best[0]
-            t0x = (sx0 - o[0]) * invd[0]
-            t1x = (sx1 - o[0]) * invd[0]
-            t0y = (sy0 - o[1]) * invd[1]
-            t1y = (sy1 - o[1]) * invd[1]
-            t0z = (sz0 - o[2]) * invd[2]
-            t1z = (sz1 - o[2]) * invd[2]
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), best_t),
-            )
-            live_sc = jnp.sum(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
+    # Sweep only this ray block's conservatively-live clusters: the host
+    # pre-pass (interval slab test over the block's o/d/tmax ranges,
+    # _block_live_clusters) compacted their ids to the front of
+    # ids_ref[pid] in cluster order, so results stay bit-identical while
+    # dead clusters cost NOTHING in-kernel (r3 measurement: bunny spent
+    # 2.94 of 7.99 ms/wave on in-kernel cull alone).
+    def live_body(j, best):
+        return cluster_body(ids_ref[pid, j], best)
 
-            def process_sc(best):
-                def inner(j, best):
-                    return cluster_body(si * SUPER_C + j, best)
-                return jax.lax.fori_loop(0, SUPER_C, inner, best)
-
-            return jax.lax.cond(live_sc, process_sc, lambda b: b, best)
-
-        best = jax.lax.fori_loop(0, n_clusters // SUPER_C, sc_body, best)
-    else:
-        best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
+    best = jax.lax.fori_loop(0, nlive_ref[pid, 0], live_body, best)
     t_out[:] = best[0]
     lid_out[:] = best[1]
     u_out[:] = best[2]
     v_out[:] = best[3]
+
+
+def _block_live_clusters(bounds, comps, grid, tm, tmin):
+    """Conservative per-ray-block cluster cull on the XLA side.
+
+    For each (tm, 128) ray block, interval arithmetic over the block's
+    origin/direction/tmax component ranges bounds the slab test for every
+    cluster AABB: a cluster whose lower-bounded t_near exceeds its
+    upper-bounded t_far for the WHOLE block can be hit by no ray in it.
+    Live cluster ids are compacted to the front (stable, preserving
+    cluster order so kernel results are bit-identical) and the kernel
+    loops only over them.  Replaces the round-2 in-kernel supercluster
+    level: same idea, but the decision is made once per block in batched
+    XLA instead of per grid step in scalar SMEM code.
+
+    Returns (ids (grid, C) i32, nlive (grid, 1) i32).
+    """
+    blk = tm * 128
+
+    def rng(x):  # (rows, 128) -> per-block (grid, 1) lo/hi
+        xb = x.reshape(grid, blk)
+        return xb.min(1, keepdims=True), xb.max(1, keepdims=True)
+
+    olo, ohi = zip(*(rng(c) for c in comps[0:3]))
+    dlo, dhi = zip(*(rng(c) for c in comps[3:6]))
+    _, tmx = rng(comps[6])
+
+    # Interval reciprocal matching the kernel's sign-preserving clamp
+    # (|d| < 1e-12 -> +/-1e-12): an interval touching 0 spans +/-1e12.
+    def inv_iv(lo, hi):
+        spans = (lo < 1e-12) & (hi > -1e-12)
+        safe = lambda x: jnp.where(jnp.abs(x) < 1e-12,
+                                   jnp.where(x < 0, -1e-12, 1e-12), x)
+        return (jnp.where(spans, -1e12, 1.0 / safe(hi)),
+                jnp.where(spans, 1e12, 1.0 / safe(lo)))
+
+    tn_lb = jnp.full((grid, 1), tmin, jnp.float32)
+    tf_ub = tmx
+    for a in range(3):
+        il, ih = inv_iv(dlo[a], dhi[a])
+        b0 = bounds[None, :, a]      # (1, C)
+        b1 = bounds[None, :, 3 + a]
+        lo_t, hi_t = None, None
+        for b in (b0, b1):
+            s_lo, s_hi = b - ohi[a], b - olo[a]
+            p = (s_lo * il, s_lo * ih, s_hi * il, s_hi * ih)
+            t_lo = jnp.minimum(jnp.minimum(p[0], p[1]),
+                               jnp.minimum(p[2], p[3]))
+            t_hi = jnp.maximum(jnp.maximum(p[0], p[1]),
+                               jnp.maximum(p[2], p[3]))
+            lo_t = t_lo if lo_t is None else jnp.minimum(lo_t, t_lo)
+            hi_t = t_hi if hi_t is None else jnp.maximum(hi_t, t_hi)
+        # per-ray tn takes min(t0, t1) per axis: lower bound = lo_t;
+        # tf takes max(t0, t1): upper bound = hi_t
+        tn_lb = jnp.maximum(tn_lb, lo_t)
+        tf_ub = jnp.minimum(tf_ub, hi_t)
+
+    live = tn_lb <= tf_ub           # (grid, C), conservative superset
+    ids = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
+    nlive = live.sum(1, keepdims=True).astype(jnp.int32)
+    return ids, nlive
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tmin", "interpret"))
@@ -403,23 +445,12 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret):
              jnp.broadcast_to(tmax, (n,))]
     comps = [c.reshape(rows, 128) for c in comps]
 
-    # Supercluster AABBs from the per-cluster bounds (pad clusters are far
-    # point boxes, so a pad-only group stays a far box; a mixed tail group
-    # just gets a loose box — its clusters are still tested individually).
-    n_sc = max(n_clusters // SUPER_C, 1)
-    if n_clusters % SUPER_C == 0 and n_clusters > SUPER_C:
-        sc_min = bounds[:, 0:3].reshape(n_sc, SUPER_C, 3).min(axis=1)
-        sc_max = bounds[:, 3:6].reshape(n_sc, SUPER_C, 3).max(axis=1)
-        sc_bounds = jnp.concatenate(
-            [sc_min, sc_max, jnp.zeros((n_sc, 2), jnp.float32)], axis=1
-        )
-    else:
-        sc_bounds = jnp.zeros((1, 8), jnp.float32)
+    ids, nlive = _block_live_clusters(bounds, comps, grid, tm, tmin)
 
     ray_block = pl.BlockSpec((tm, 128), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # sc_bounds + bounds + tri table (SMEM)
+        num_scalar_prefetch=4,  # live ids + counts + bounds + tris (SMEM)
         grid=(grid,),
         in_specs=[ray_block] * 7,
         out_specs=[ray_block] * 4,
@@ -436,7 +467,7 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret):
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(sc_bounds, bounds, tris, *comps)
+    )(ids, nlive, bounds, tris, *comps)
     return t.reshape(-1), lid.reshape(-1), u.reshape(-1), v.reshape(-1)
 
 
@@ -642,7 +673,8 @@ def _build_direct_kernel(lights, tmin, n_clusters):
                         jnp.where(ok, shade_ref[c, 11, k], best[9]),
                     )
 
-                return jax.lax.fori_loop(0, CLUSTER, tri_body, best)
+                n_it = bounds_ref[c, 6].astype(jnp.int32)
+                return jax.lax.fori_loop(0, n_it, tri_body, best)
 
             return jax.lax.cond(live, process, lambda b: b, best)
 
@@ -697,7 +729,8 @@ def _build_direct_kernel(lights, tmin, n_clusters):
                     def tri_body(k, occ_f):
                         ok, _t, _u, _v, _e = mt_one(so, wl, c, k, tmax_s)
                         return jnp.maximum(occ_f, jnp.where(ok, 1.0, 0.0))
-                    return jax.lax.fori_loop(0, CLUSTER, tri_body, occ_f)
+                    n_it = bounds_ref[c, 6].astype(jnp.int32)
+                    return jax.lax.fori_loop(0, n_it, tri_body, occ_f)
 
                 return jax.lax.cond(live, process, lambda x: x, occ_f)
 
