@@ -31,7 +31,6 @@ def main():
     # so 256/16 passes burned >0.5 s of pure dispatch (round-2 measurement:
     # 391M rays/s at 16 spp/pass vs 548M at 64).
     spp_per_pass = int(os.environ.get("BENCH_SPP_PER_PASS", "64"))
-    warmup = spp_per_pass
 
     scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=res, spp=spp)
 
@@ -47,7 +46,11 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     def timed(render_fn, counter):
-        img = render_fn(scene, spp=warmup, seed=123)
+        # Warm with the SAME spp as the timed config: the fused whole-render
+        # programs (r3) are compiled per (spp_per_pass, n_full, rem), so a
+        # different-spp warmup would leave the timed program's XLA compile
+        # inside rep 1.
+        img = render_fn(scene, spp=spp, seed=123)
         jax.block_until_ready(img)
         times = []
         rays = 0

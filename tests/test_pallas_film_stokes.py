@@ -80,6 +80,52 @@ def test_film_kernel_equals_per_sample_splat(cbox8):
     np.testing.assert_allclose(img_film, img_ref, rtol=2e-5, atol=2e-6)
 
 
+def test_film_render_single_dispatch_scan_and_tail(cbox8):
+    """The whole-render fused dispatch (lax.scan over full chunks + tail
+    chunk + develop, all one jit — r3: per-chunk dispatches cost ~35 ms
+    tunnel RTT each) must equal a manual per-chunk accumulation with the
+    same seeds.  spp=5, spp_per_pass=2 exercises n_full=2 AND rem=1."""
+    import jax.numpy as jnp
+
+    from tpu_rt.sensor import film as film_mod
+
+    seed, spp, k = 7, 5, 2
+    c = cbox8.camera
+    H, W = c.height, c.width
+    n = H * W
+    bs = pp.bake_scene(cbox8)
+
+    img = np.asarray(
+        pp.render_pallas(cbox8, spp=spp, seed=seed, interpret=True,
+                         spp_per_pass=k)
+    )
+
+    fvr = fvg = fvb = fw = jnp.zeros((H, W), jnp.float32)
+    done = 0
+    while done < spp:
+        kc = min(k, spp - done)
+        accs, _nr = pp.pallas_film_trace(bs, c, seed * 100003 + done, kc,
+                                         interpret=True)
+
+        def img2(p):
+            return p.reshape(-1)[:n].reshape(H, W)
+
+        j = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                fvr = film_mod._shift_add(fvr, img2(accs[j]), dy, dx)
+                fvg = film_mod._shift_add(fvg, img2(accs[j + 1]), dy, dx)
+                fvb = film_mod._shift_add(fvb, img2(accs[j + 2]), dy, dx)
+                fw = film_mod._shift_add(fw, img2(accs[j + 3]), dy, dx)
+                j += 4
+        done += kc
+    ref = np.asarray(
+        jnp.stack([fvr, fvg, fvb], -1) / jnp.maximum(fw[..., None], 1e-12)
+    )
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-7)
+    assert int(pp.render_pallas.last_ray_count) > 0
+
+
 def test_film_kernel_box_weights(cbox8):
     """Box-filter film mode: per-pixel weights equal the sample count
     (every finite sample deposits weight 1 in its own pixel)."""

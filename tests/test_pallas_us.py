@@ -55,3 +55,104 @@ def test_us_kernel_scope_guard():
     assert bake_us_scene(scene) is None
     with pytest.raises(ValueError):
         simulate_acquisition_pallas(scene, interpret=True)
+
+
+def test_us_fastgrad_vjp_matches_xla_grad(ref_us_scenes):
+    """simulate_acquisition_fastgrad: kernel primal, XLA-path backward
+    (VERDICT r2 weak #7).  The gradient must EXACTLY equal jax.grad through
+    the XLA acquisition at the same seed (the custom_vjp replays it), while
+    the primal equals the kernel output."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rt.ops.pallas_us import simulate_acquisition_fastgrad
+
+    scene = tpu_rt.load_file(os.path.join(ref_us_scenes, "Plane_Floating.xml"))
+
+    def loss_fast(p):
+        ch, _tx = simulate_acquisition_fastgrad(
+            scene.replace(bsdf_params=p), 0, 2, True
+        )
+        return jnp.sum(ch * ch) * 1e3
+
+    def loss_xla(p):
+        ch, _tx = simulate_acquisition(
+            scene.replace(bsdf_params=p), seed=0, rays_per_pair=2
+        )
+        return jnp.sum(ch * ch) * 1e3
+
+    p0 = scene.bsdf_params
+    g_fast = np.asarray(jax.grad(loss_fast)(p0))
+    assert np.isfinite(g_fast).all()
+    assert np.abs(g_fast).sum() > 0, "no gradient signal reached bsdf params"
+
+    # primal is the kernel's (not the XLA tracer's)
+    ch_k, _ = simulate_acquisition_pallas(scene, seed=0, rays_per_pair=2,
+                                          interpret=True)
+    ch_f, _ = simulate_acquisition_fastgrad(scene, 0, 2, True)
+    np.testing.assert_allclose(np.asarray(ch_f), np.asarray(ch_k),
+                               rtol=1e-6, atol=1e-9)
+
+    # backward is exactly the XLA path's gradient: chain rule through the
+    # SAME downstream loss, but d(loss)/d(ch) evaluated at the KERNEL
+    # primal.  Reproduce by hand: vjp of the XLA acquisition applied to
+    # 2*ch_kernel*1e3.
+    _, vjp = jax.vjp(
+        lambda p: simulate_acquisition(
+            scene.replace(bsdf_params=p), seed=0, rays_per_pair=2
+        )[0],
+        p0,
+    )
+    g_ref = np.asarray(vjp(2.0 * jnp.asarray(ch_k) * 1e3)[0])
+    np.testing.assert_allclose(g_fast, g_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_us_render_use_pallas_differentiable(ref_us_scenes):
+    """us_render(use_pallas=True) routes through the fastgrad wrapper:
+    forward = kernel acquisition, jax.grad works end-to-end through
+    DAS+envelope+log-compression (small beamform window to keep the CPU
+    grid tiny)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rt.ops import pallas_us as pu
+    from tpu_rt.us.pipeline import us_render
+
+    scene = tpu_rt.load_file(os.path.join(ref_us_scenes, "Plane_Floating.xml"))
+    # Window must CONTAIN the plane echo or the log-compressed image is
+    # constant and the gradient legitimately zero.  The plate center is at
+    # z = 0.05*0.02 = 0.001 (listed-order transform semantics, see
+    # test_plane_and_cone_scene_first_echo); measured RF energy spans
+    # 0.3-1.1 mm equivalent range.
+    kw = dict(x_bounds=(-0.004, 0.004), z_bounds=(0.0002, 0.0016))
+
+    # interpret-mode kernels on CPU: patch the pallas entry the fastgrad
+    # wrapper resolves from module globals at call time
+    orig = pu.simulate_acquisition_pallas
+
+    def forced(scene, seed=0, rays_per_pair=1, baked=None, tile_rows=8,
+               interpret=False):
+        return orig(scene, seed=seed, rays_per_pair=rays_per_pair,
+                    baked=baked, tile_rows=tile_rows, interpret=True)
+
+    pu.simulate_acquisition_pallas = forced
+    try:
+        img, ch, _tx = us_render(scene, rays_per_pair=2, use_pallas=True,
+                                 **kw)
+        assert np.isfinite(np.asarray(img)).all()
+        assert np.abs(np.asarray(ch)).sum() > 0
+
+        def loss(p):
+            img2, _c, _t = us_render(scene.replace(bsdf_params=p),
+                                     rays_per_pair=2, use_pallas=True, **kw)
+            return jnp.mean(img2 * img2)
+
+        g = np.asarray(jax.grad(loss)(scene.bsdf_params))
+        assert np.isfinite(g).all()
+        assert np.abs(g).sum() > 0
+    finally:
+        pu.simulate_acquisition_pallas = orig

@@ -1493,7 +1493,9 @@ def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
     """Full polarized render through the Stokes megakernel; the
     reconstruction-filter splat stays in XLA (cbox_pol uses a gaussian
     filter).  Returns (H, W, 4, 3); sets render_stokes_pallas.
-    last_ray_count.  Raises ValueError out of scope."""
+    last_ray_count (a lazy device scalar — int() it to read).  Raises
+    ValueError out of scope.  ``spp_per_pass`` is retained for API compat
+    but unused: the whole render is one fused dispatch."""
     import jax as _jax
 
     from tpu_rt.sensor import film as _film
@@ -1515,11 +1517,16 @@ def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         float(c.tan_fov_x), float(c.tan_fov_y), H, W,
         c.filter_type, c.filter_radius,
     )
-    key = (_bake_key(bs), cam_key, tile_rows, interpret)
-    passes = _RENDER_FN_CACHE.get(key)
-    if passes is None:
+    # ONE dispatch for the whole render: scan over all spp seeds + develop
+    # inside a single jit (the per-chunk form cost ceil(spp/32) host
+    # dispatches at ~35 ms tunnel RTT each — 0.56 s of the 0.69 s cbox_pol
+    # headline render).  spp is static in the cache key; scan length does
+    # not affect compile time.
+    key = (_bake_key(bs), cam_key, tile_rows, interpret, spp)
+    whole = _RENDER_FN_CACHE.get(key)
+    if whole is None:
         @_jax.jit
-        def passes(fv, fw, seeds):
+        def whole(seed0):
             def one(carry, seed_i):
                 fv, fw, acc = carry
                 S, jitter, n_rays = pallas_stokes_trace(
@@ -1534,26 +1541,19 @@ def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
                 )
                 return (fv, fw, acc + n_rays), None
 
+            fv = jnp.zeros((H, W, 12), jnp.float32)
+            fw = jnp.zeros((H, W), jnp.float32)
+            seeds = seed0 + jnp.arange(spp, dtype=jnp.int32)
             (fv, fw, acc), _ = _jax.lax.scan(
                 one, (fv, fw, jnp.zeros((), jnp.int32)), seeds
             )
-            return fv, fw, acc
+            return _film.develop(fv, fw), acc
 
-        _RENDER_FN_CACHE[key] = passes
+        _RENDER_FN_CACHE[key] = whole
 
-    fv = jnp.zeros((H, W, 12), jnp.float32)
-    fw = jnp.zeros((H, W), jnp.float32)
-    counts = []
-    done = 0
-    while done < spp:
-        k = min(spp_per_pass, spp - done)
-        seeds = (jnp.int32(seed * 100003) + jnp.arange(k, dtype=jnp.int32)
-                 + jnp.int32(done))
-        fv, fw, n_rays = passes(fv, fw, seeds)
-        counts.append(n_rays)
-        done += k
-    img = _film.develop(fv, fw)
-    render_stokes_pallas.last_ray_count = sum(counts[1:], counts[0])
+    img, n_rays = whole(jnp.int32(seed * 100003))
+    # Lazy device count — int() it to read (avoids a tunnel sync here).
+    render_stokes_pallas.last_ray_count = n_rays
     return img.reshape(H, W, 4, 3)
 
 
@@ -1641,16 +1641,21 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
     return passes
 
 
-def _get_film_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, k):
-    """Memoized jitted one-chunk render for the in-kernel-film path: one
-    megakernel launch covering k samples of every pixel, then a single
-    shift-add assembly of the per-offset planes into the film."""
+def _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows, interpret,
+                              k, n_full, rem):
+    """Memoized jitted WHOLE-render for the in-kernel-film path: a lax.scan
+    over n_full k-sample chunks (+ an optional rem-sample tail) plus the
+    final develop, all inside ONE dispatch.  The per-chunk form costs one
+    host->device dispatch per chunk plus a separate develop; over the
+    tunnel (~35 ms RTT) that fixed overhead dominated short renders
+    (CLAUDE.md r3: ~40 ms/render)."""
     import jax as _jax
 
     from tpu_rt.scene.types import FILTER_TENT
     from tpu_rt.sensor import film as _film
 
-    key = ("film", _bake_key(bs), cam_key, tile_rows, interpret, k)
+    key = ("filmN", _bake_key(bs), cam_key, tile_rows, interpret,
+           k, n_full, rem)
     fn = _RENDER_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1658,14 +1663,11 @@ def _get_film_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, k):
     n = H * W
     tent = c.filter_type == FILTER_TENT
 
-    @_jax.jit
-    def chunk(fvr, fvg, fvb, fw, seed_i):
-        accs, nr = pallas_film_trace(bs, c, seed_i, k, tile_rows=tile_rows,
-                                     interpret=interpret)
+    def img2(p):
+        return p.reshape(-1)[:n].reshape(H, W)
 
-        def img2(p):
-            return p.reshape(-1)[:n].reshape(H, W)
-
+    def deposit(carry, accs):
+        fvr, fvg, fvb, fw = carry
         if tent:
             i = 0
             for dy in (-1, 0, 1):
@@ -1680,10 +1682,43 @@ def _get_film_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, k):
             fvg = fvg + img2(accs[1])
             fvb = fvb + img2(accs[2])
             fw = fw + img2(accs[3])
-        return fvr, fvg, fvb, fw, jnp.sum(nr).astype(jnp.int32)
+        return fvr, fvg, fvb, fw
 
-    _RENDER_FN_CACHE[key] = chunk
-    return chunk
+    @_jax.jit
+    def whole(seed0):
+        zero = jnp.zeros((H, W), jnp.float32)
+        film0 = (zero, zero, zero, zero)
+        nr0 = jnp.zeros((), jnp.int64 if _jax.config.jax_enable_x64
+                        else jnp.int32)
+
+        if n_full > 0:
+            def body(carry, seed_i):
+                film, nr = carry
+                accs, n_rays = pallas_film_trace(
+                    bs, c, seed_i, k, tile_rows=tile_rows,
+                    interpret=interpret)
+                return (deposit(film, accs),
+                        nr + jnp.sum(n_rays).astype(nr.dtype)), None
+
+            seeds = seed0 + jnp.arange(n_full, dtype=jnp.int32) * k
+            (film, nr), _ = _jax.lax.scan(body, (film0, nr0), seeds)
+        else:
+            film, nr = film0, nr0
+
+        if rem > 0:
+            accs, n_rays = pallas_film_trace(
+                bs, c, seed0 + jnp.int32(n_full * k), rem,
+                tile_rows=tile_rows, interpret=interpret)
+            film = deposit(film, accs)
+            nr = nr + jnp.sum(n_rays).astype(nr.dtype)
+
+        fvr, fvg, fvb, fw = film
+        img = (jnp.stack([fvr, fvg, fvb], -1)
+               / jnp.maximum(fw[..., None], 1e-12))
+        return img, nr
+
+    _RENDER_FN_CACHE[key] = whole
+    return whole
 
 
 def render_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
@@ -1728,28 +1763,17 @@ def render_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         not bs.env_textured and c.filter_type in (FILTER_BOX, FILTER_TENT)
     )
     if use_film_kernel:
-        fvr = jnp.zeros((H, W), jnp.float32)
-        fvg = jnp.zeros((H, W), jnp.float32)
-        fvb = jnp.zeros((H, W), jnp.float32)
-        fw = jnp.zeros((H, W), jnp.float32)
-        counts = []
-        done = 0
-        while done < spp:
-            k = min(spp_per_pass, spp - done)
-            chunk = _get_film_render_fn(bs, cam_key, c, H, W, tile_rows,
-                                        interpret, k)
-            fvr, fvg, fvb, fw, n_rays = chunk(
-                fvr, fvg, fvb, fw, jnp.int32(seed * 100003 + done)
-            )
-            counts.append(n_rays)
-            done += k
-        img = jnp.stack([fvr, fvg, fvb], -1) / jnp.maximum(fw[..., None], 1e-12)
+        n_full, rem = divmod(spp, spp_per_pass)
+        whole = _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows,
+                                          interpret, spp_per_pass, n_full,
+                                          rem)
+        img, n_rays = whole(jnp.int32(seed * 100003))
         # Lazy count: a device-side sum, converted by callers via int().
         # device_get here would block on the ~35 ms tunnel round trip
         # INSIDE the timed render (r3 slope measurement: the film path's
         # marginal cost is 0.76 ms/spp; the fixed ~70 ms/render overhead was
         # dominated by this sync).
-        render_pallas.last_ray_count = sum(counts[1:], counts[0])
+        render_pallas.last_ray_count = n_rays
         return img
 
     passes = _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass)

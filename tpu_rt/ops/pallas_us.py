@@ -15,13 +15,16 @@ positions use the closed-form linear/convex array layout (CustomEmmitter
 .py:33-47) instead of a table gather.
 
 Physics formulas match tpu_rt.integrator.ultrasound (which documents the
-intent-preserving fixes of the reference's defects, SURVEY.md §2d);
-the XLA path stays the differentiable one (this kernel has no VJP) and is
-the cross-check in tests.
+intent-preserving fixes of the reference's defects, SURVEY.md §2d); the
+XLA path is the cross-check in tests.  Acoustic BSDF params ride a runtime
+SMEM table (not baked), so optimization loops reuse one compiled kernel;
+``simulate_acquisition_fastgrad`` pairs the kernel primal with the XLA
+path's VJP for differentiable acquisition at kernel speed.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import List, Tuple
@@ -143,13 +146,11 @@ def bake_us_scene(scene: Scene):
                  tuple(mo[2].tolist()), tuple(nw.tolist())),
                 int(shape_bsdf[sid]), -1))
 
-    params = np.asarray(scene.bsdf_params)
-    bsdfs = []
-    for row in params:
-        z_int = float(row[0])
-        alpha = float(min(max(row[1], 1e-3), 1.0))
-        z_ext = float(row[2]) if row[2] > 0.0 else 1.2
-        bsdfs.append((z_int, alpha, z_ext))
+    # Acoustic params are NOT baked: they ride a runtime SMEM operand
+    # (bsdf table), so optimization loops over impedance/roughness reuse
+    # one compiled kernel and simulate_acquisition_fastgrad can trace
+    # them.  Only the COUNT is static.
+    bsdfs = [(None, None, None)] * scene.bsdf_params.shape[0]
 
     m = np.asarray(us.sensor_to_world)
     radius = float(us.radius)
@@ -226,7 +227,7 @@ def _build_us_kernel(bs: BakedUSScene):
     inv_ramp = 1.0 / max(bs.cutoff_angle - bs.main_beam_angle, 1e-9)
     tn = bs.trans_n
 
-    def kernel(seed_ref, ox, oy, oz, dx, dy, dz, txd, *outs):
+    def kernel(seed_ref, bsdf_ref, ox, oy, oz, dx, dy, dz, txd, *outs):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         tx_delay = txd[:]
@@ -282,11 +283,11 @@ def _build_us_kernel(bs: BakedUSScene):
             bsdf_id = jnp.full(shape, -1.0)
             for pi, p in enumerate(bs.prims):
                 bsdf_id = jnp.where(prim_f == float(pi), float(p.bsdf), bsdf_id)
-            for bi, (zi, al, ze) in enumerate(bs.bsdfs):
+            for bi in range(len(bs.bsdfs)):
                 m = bsdf_id == float(bi)
-                z_int = jnp.where(m, zi, z_int)
-                alpha = jnp.where(m, al, alpha)
-                z_ext = jnp.where(m, ze, z_ext)
+                z_int = jnp.where(m, bsdf_ref[bi, 0], z_int)
+                alpha = jnp.where(m, bsdf_ref[bi, 1], alpha)
+                z_ext = jnp.where(m, bsdf_ref[bi, 2], z_ext)
 
             s_fr, t_fr = _frame(n)
             wi_l = _to_local(n, s_fr, t_fr, wi)
@@ -428,13 +429,21 @@ def simulate_acquisition_pallas(scene: Scene, seed=0, rays_per_pair=1,
     comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tx_delay]
     comps = [x.reshape(rows, lanes) for x in comps]
 
+    # Runtime acoustic-param table (same clamps the old bake applied).
+    prm = jnp.asarray(scene.bsdf_params, jnp.float32)
+    bsdf_tab = jnp.stack(
+        [prm[:, 0],
+         jnp.clip(prm[:, 1], 1e-3, 1.0),
+         jnp.where(prm[:, 2] > 0.0, prm[:, 2], 1.2)], axis=-1,
+    )
+
     kernel = _build_us_kernel(bs)
-    block = pl.BlockSpec((tile_rows, lanes), lambda i, _s: (i, 0),
+    block = pl.BlockSpec((tile_rows, lanes), lambda i, *_s: (i, 0),
                          memory_space=pltpu.VMEM)
     D = bs.max_depth
     out_shape = [jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * (3 * D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # seed + bsdf param table
         grid=(grid,),
         in_specs=[block] * 7,
         out_specs=[block] * (3 * D),
@@ -444,7 +453,7 @@ def simulate_acquisition_pallas(scene: Scene, seed=0, rays_per_pair=1,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), *comps)
+    )(jnp.asarray([seed], jnp.int32), bsdf_tab, *comps)
 
     # XLA scatter: per-depth linear-interp deposit into the RF buffer.
     channel = jnp.zeros((A * E * T,), jnp.float32)
@@ -477,3 +486,55 @@ def simulate_acquisition_pallas(scene: Scene, seed=0, rays_per_pair=1,
     channel_buf = channel.reshape(A, E, T) / float(rays_per_pair)
     tx = base["tx_delay"].reshape(A, E)
     return channel_buf, tx
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: kernel primal, XLA-path gradient
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def simulate_acquisition_fastgrad(scene: Scene, seed=0, rays_per_pair=1,
+                                  interpret=False):
+    """Acquisition with the megakernel primal and an XLA-path VJP.
+
+    Forward runs ``simulate_acquisition_pallas`` (6-16x on chip); backward
+    replays ``integrator.ultrasound.simulate_acquisition`` — the reference
+    physics in differentiable XLA form — through jax.vjp at the same seed.
+
+    The kernel and the XLA tracer use different RNG streams, so the
+    gradient is an INDEPENDENT unbiased MC estimate of the true gradient
+    rather than the derivative of the primal sample (both estimate the
+    same integrals — cross-checked in tests/test_pallas_us.py).  For
+    stochastic optimization this is the standard decorrelated-gradient
+    setting (cf. the reference's finite-difference loop, USMain.py:262-289,
+    whose two evaluations are also independent realizations).
+
+    Raises ValueError when the scene is outside kernel scope — fall back
+    to simulate_acquisition, which is its own VJP.
+    """
+    return simulate_acquisition_pallas(
+        scene, seed=seed, rays_per_pair=rays_per_pair, interpret=interpret
+    )
+
+
+def _fastgrad_fwd(scene, seed, rays_per_pair, interpret):
+    # (fwd keeps the primal's signature; only bwd gets nondiff args first)
+    out = simulate_acquisition_pallas(
+        scene, seed=seed, rays_per_pair=rays_per_pair, interpret=interpret
+    )
+    return out, scene
+
+
+def _fastgrad_bwd(seed, rays_per_pair, interpret, scene, g):
+    from tpu_rt.integrator.ultrasound import simulate_acquisition
+
+    _, vjp = jax.vjp(
+        lambda s: simulate_acquisition(
+            s, seed=seed, rays_per_pair=rays_per_pair
+        ),
+        scene,
+    )
+    return vjp(g)
+
+
+simulate_acquisition_fastgrad.defvjp(_fastgrad_fwd, _fastgrad_bwd)

@@ -22,15 +22,18 @@ def us_render(scene: Scene, seed=0, rays_per_pair=1, visualize=False,
 
     ``use_pallas`` routes the acquisition through the Pallas megakernel
     (ops/pallas_us.py, ~6-16x faster on chip) when the scene is in its
-    scope; keep False for jax.grad (the kernel has no VJP)."""
+    scope.  Differentiable either way: the kernel route pairs its primal
+    with the XLA path's VJP (simulate_acquisition_fastgrad)."""
     us = scene.ultrasound
     if use_pallas:
-        from tpu_rt.ops.pallas_us import bake_us_scene, simulate_acquisition_pallas
+        from tpu_rt.ops.pallas_us import (
+            bake_us_scene,
+            simulate_acquisition_fastgrad,
+        )
 
-        baked = bake_us_scene(scene)
-        if baked is not None:
-            channel_buf, tx = simulate_acquisition_pallas(
-                scene, seed=seed, rays_per_pair=rays_per_pair, baked=baked
+        if bake_us_scene(scene) is not None:
+            channel_buf, tx = simulate_acquisition_fastgrad(
+                scene, seed, rays_per_pair
             )
         else:
             channel_buf, tx = simulate_acquisition(

@@ -38,16 +38,19 @@ def main(full=False):
 
     cbox = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=512, spp=1)
 
-    _step("cbox film-kernel (tent, 512^2, 64spp chunk)", lambda: jax.block_until_ready(
-        pp.render_pallas(cbox, spp=64, seed=0, spp_per_pass=64)))
+    # Warm the EXACT headline configs: the fused whole-render programs (r3)
+    # compile per (spp_per_pass, n_full, rem) — and for stokes per spp — so
+    # the warm spp must match the render spp (bench.py defaults).
+    _step("cbox film-kernel (tent, 512^2, 256spp fused)", lambda: jax.block_until_ready(
+        pp.render_pallas(cbox, spp=256, seed=0, spp_per_pass=64)))
     sc128 = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=128, spp=1)
     sc128 = sc128.replace(camera=sc128.camera.replace(filter_type=0))
     _step("cbox film-kernel (box, 128^2 RMSE config)", lambda: jax.block_until_ready(
-        pp.render_pallas(sc128, spp=64, seed=0, spp_per_pass=64)))
+        pp.render_pallas(sc128, spp=2048, seed=0, spp_per_pass=64)))
 
     pol = tpu_rt.load_file("/root/reference/scenes/cbox_pol.xml")
-    _step("cbox_pol stokes kernel (256^2)", lambda: jax.block_until_ready(
-        pp.render_stokes_pallas(pol, spp=32, seed=0)))
+    _step("cbox_pol stokes kernel (256^2, 512spp fused)", lambda: jax.block_until_ready(
+        pp.render_stokes_pallas(pol, spp=512, seed=0)))
 
     if full:
         from tpu_rt.integrator import render as render_public
