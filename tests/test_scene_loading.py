@@ -14,6 +14,7 @@ from tpu_rt.scene.types import (
     BSDF_DIFFUSE,
     BSDF_ULTRASOUND,
     INTEGRATOR_DIRECT,
+    INTEGRATOR_DIRECT_PROJECTIVE,
     INTEGRATOR_PATH,
     INTEGRATOR_STOKES,
     INTEGRATOR_ULTRASOUND,

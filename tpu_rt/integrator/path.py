@@ -266,14 +266,17 @@ def _render_passes(scene, film_vals, film_wts, keys, perm, inv_perm,
 def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
     """Full render: returns (H, W, 3) image.
 
-    Work is chunked: each jit call runs ``spp_per_pass`` one-sample-per-pixel
-    waves via lax.scan (amortizing host dispatch), so HBM holds one W*H
-    megabatch of ray state at a time.
+    All spp one-sample-per-pixel waves run in ONE jit dispatch via
+    lax.scan (HBM holds a single W*H megabatch of ray state at a time
+    regardless of scan length; the former ``spp_per_pass`` chunking cost
+    one ~35 ms tunnel dispatch per chunk and is retained only as an API
+    no-op).  ``render.last_ray_count`` is a lazy device scalar — int() it
+    to read (an eager device_get here would sync the tunnel inside the
+    caller's timed region).
     """
     c = scene.camera
     spp = c.spp if spp is None else spp
     H, W = c.height, c.width
-    spp_per_pass = max(1, min(spp_per_pass, spp))
 
     # Mesh scenes: trace rays in screen-tile order for the cluster kernel.
     use_tiles = scene.geometry.cl_tris is not None
@@ -281,22 +284,14 @@ def render(scene: Scene, spp=None, seed=0, max_depth=None, spp_per_pass=8):
 
     film_vals = jnp.zeros((H, W, 3), jnp.float32)
     film_wts = jnp.zeros((H, W), jnp.float32)
-    ray_counts = []  # device futures; summed once at the end (no sync per pass)
     root = jax.random.PRNGKey(seed)
-    done = 0
-    while done < spp:
-        k = min(spp_per_pass, spp - done)
-        from tpu_rt.ops.pallas_path import _make_keys_seeds
+    from tpu_rt.ops.pallas_path import _make_keys_seeds
 
-        keys, _ = _make_keys_seeds(root, jnp.int32(done), jnp.int32(0), k)
-        film_vals, film_wts, n_rays = _render_passes(
-            scene, film_vals, film_wts, keys, perm, inv_perm,
-            max_depth, use_tiles,
-        )
-        ray_counts.append(n_rays)
-        done += k
+    keys, _ = _make_keys_seeds(root, jnp.int32(0), jnp.int32(0), spp)
+    film_vals, film_wts, n_rays = _render_passes(
+        scene, film_vals, film_wts, keys, perm, inv_perm,
+        max_depth, use_tiles,
+    )
     img = film_mod.develop(film_vals, film_wts)
-    render.last_ray_count = int(
-        sum(int(c_) for c_ in jax.device_get(ray_counts))
-    )  # observability (SURVEY.md §5 metrics row)
+    render.last_ray_count = n_rays  # observability (SURVEY.md §5 metrics row)
     return img

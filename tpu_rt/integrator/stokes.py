@@ -172,7 +172,6 @@ def render_stokes(scene: Scene, spp=None, seed=0, max_depth=None,
     c = scene.camera
     spp = c.spp if spp is None else spp
     H, W = c.height, c.width
-    spp_per_pass = max(1, min(spp_per_pass, spp))
 
     from tpu_rt.ops.pallas_path import _make_keys_seeds
 
@@ -182,14 +181,12 @@ def render_stokes(scene: Scene, spp=None, seed=0, max_depth=None,
     film_vals = jnp.zeros((H, W, 12), jnp.float32)
     film_wts = jnp.zeros((H, W), jnp.float32)
     root = jax.random.PRNGKey(seed)
-    done = 0
-    while done < spp:
-        k = min(spp_per_pass, spp - done)
-        keys, _ = _make_keys_seeds(root, jnp.int32(done), jnp.int32(0), k)
-        film_vals, film_wts = _stokes_passes(
-            scene, film_vals, film_wts, keys, max_depth, has_polarizer
-        )
-        done += k
+    # One dispatch for all spp (scan length does not affect compile time or
+    # HBM footprint; ``spp_per_pass`` retained as an API no-op).
+    keys, _ = _make_keys_seeds(root, jnp.int32(0), jnp.int32(0), spp)
+    film_vals, film_wts = _stokes_passes(
+        scene, film_vals, film_wts, keys, max_depth, has_polarizer
+    )
     img = film_mod.develop(film_vals, film_wts)
     return img.reshape(H, W, 4, 3)
 

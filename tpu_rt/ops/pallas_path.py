@@ -1586,15 +1586,17 @@ def _make_keys_seeds(root, start, seed_base, k):
     return keys, seeds
 
 
-def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
-    """Memoized jitted multi-pass render function (avoids re-tracing the
-    megakernel on every render_pallas call)."""
+def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp):
+    """Memoized jitted WHOLE-render for XLA-splat scenes (gaussian filter
+    or textured env): per-sample kernel scanned over all spp seeds +
+    develop, one dispatch.  Memoized to avoid re-tracing the megakernel on
+    every render_pallas call."""
     import jax as _jax
 
     from tpu_rt.sensor import camera as _cam
     from tpu_rt.sensor import film as _film
 
-    key = (_bake_key(bs), cam_key, tile_rows, interpret, spp_per_pass)
+    key = (_bake_key(bs), cam_key, tile_rows, interpret, spp)
     fn = _RENDER_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1607,7 +1609,7 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
     ).reshape(-1, 2).astype(jnp.float32)
 
     @_jax.jit
-    def passes(scene, fv, fw, keys, seeds):
+    def passes(scene, keys, seeds):
         def one(carry, inputs):
             fv, fw, acc = carry
             key, seed_i = inputs
@@ -1632,10 +1634,12 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass):
             )
             return (fv, fw, acc + n_rays), None
 
+        fv = jnp.zeros((H, W, 3), jnp.float32)
+        fw = jnp.zeros((H, W), jnp.float32)
         (fv, fw, acc), _ = _jax.lax.scan(
             one, (fv, fw, jnp.zeros((), jnp.int32)), (keys, seeds)
         )
-        return fv, fw, acc
+        return _film.develop(fv, fw), acc
 
     _RENDER_FN_CACHE[key] = passes
     return passes
@@ -1776,22 +1780,16 @@ def render_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         render_pallas.last_ray_count = n_rays
         return img
 
-    passes = _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass)
-
-    fv = jnp.zeros((H, W, 3), jnp.float32)
-    fw = jnp.zeros((H, W), jnp.float32)
-    counts = []
-    done = 0
-    while done < spp:
-        k = min(spp_per_pass, spp - done)
-        keys, seeds = _make_keys_seeds(
-            root, jnp.int32(done), jnp.int32(seed * 100003), k
-        )
-        # The jitted scan shape-specializes on the keys length, so a short
-        # tail chunk reuses the same memoized fn (one extra compile at most).
-        fv, fw, n_rays = passes(scene, fv, fw, keys, seeds)
-        counts.append(n_rays)
-        done += k
-    img = _film.develop(fv, fw)
-    render_pallas.last_ray_count = sum(counts[1:], counts[0])
+    # XLA-splat scenes (gaussian filter or textured env, e.g.
+    # polarizers.xml): same single-dispatch treatment — the per-sample
+    # kernel is scanned over ALL spp seeds and the develop happens inside
+    # the same jit (the chunked form cost one ~35 ms tunnel dispatch per
+    # spp_per_pass chunk).
+    passes = _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp)
+    keys, seeds = _make_keys_seeds(
+        root, jnp.int32(0), jnp.int32(seed * 100003), spp
+    )
+    img, n_rays = passes(scene, keys, seeds)
+    # Lazy device count — int() it to read.
+    render_pallas.last_ray_count = n_rays
     return img

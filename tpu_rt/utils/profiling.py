@@ -115,26 +115,34 @@ def measure_device_trace(fn, log_dir=None):
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
     intervals = []
-    kernel_us = 0.0
+    kernel_iv = []
     for e in evs:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             ts, dur = float(e.get("ts", 0.0)), float(e.get("dur", 0.0))
             intervals.append((ts, ts + dur))
             if "pallas" in e.get("name", ""):
-                kernel_us += dur
+                kernel_iv.append((ts, ts + dur))
     if not intervals:
         raise RuntimeError("no device-track events in trace")
-    # union of (nested, overlapping) intervals
-    intervals.sort()
-    busy = 0.0
-    cur_s, cur_e = intervals[0]
-    for s_, e_ in intervals[1:]:
-        if s_ > cur_e:
-            busy += cur_e - cur_s
-            cur_s, cur_e = s_, e_
-        else:
-            cur_e = max(cur_e, e_)
-    busy += cur_e - cur_s
+
+    def union(iv):
+        # union of (nested, overlapping) intervals — a device exposes
+        # several tracks (XLA Modules / XLA Ops / ...) that all carry the
+        # same span, so summing durations double-counts (r3: the bench
+        # reported kernel_frac 2.26)
+        iv = sorted(iv)
+        tot = 0.0
+        cur_s, cur_e = iv[0]
+        for s_, e_ in iv[1:]:
+            if s_ > cur_e:
+                tot += cur_e - cur_s
+                cur_s, cur_e = s_, e_
+            else:
+                cur_e = max(cur_e, e_)
+        return tot + (cur_e - cur_s)
+
+    busy = union(intervals)
+    kernel_us = union(kernel_iv) if kernel_iv else 0.0
     return {
         "wall_s": wall,
         "device_busy_s": busy / 1e6,
