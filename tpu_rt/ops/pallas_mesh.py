@@ -578,8 +578,11 @@ def mesh_intersect(clusters, o, d, tmin=1e-4, tmax=None, tm=DEFAULT_TM,
 def _build_direct_kernel(lights, tmin, n_clusters):
     from tpu_rt.ops.pallas_path import _add, _dot, _normalize, _scale
 
-    def kernel(bounds_ref, tri_ref, shade_ref, ox, oy, oz, dx, dy, dz,
-               lr, lg, lb, nc):
+    def kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, shade_ref,
+               ox, oy, oz, dx, dy, dz, lr, lg, lb, nc):
+        # Hoisted: pl.program_id cannot be lowered inside fori bodies in
+        # interpret mode (r3 note).
+        pid = pl.program_id(0)
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         shape = o[0].shape
@@ -678,8 +681,19 @@ def _build_direct_kernel(lights, tmin, n_clusters):
 
             return jax.lax.cond(live, process, lambda b: b, best)
 
+        # Closest sweep walks only this ray block's conservatively-live
+        # clusters (host interval cull, _block_live_clusters — the same
+        # compaction that took the intersect kernel 87->321M on teapot).
+        # Shadow sweeps keep the full loop: their origins are hit points,
+        # unknown host-side, and the per-cluster live cond already
+        # early-outs once every lane is occluded or invalid.
         init = (big,) + (zeros,) * 9
-        best = jax.lax.fori_loop(0, n_clusters, closest_body, init)
+
+        def closest_live_body(j, best):
+            return closest_body(ids_ref[pid, j], best)
+
+        best = jax.lax.fori_loop(0, nlive_ref[pid, 0], closest_live_body,
+                                 init)
         t = best[0]
         hit = t < 0.9 * _BIG
         ns = _normalize((best[1], best[2], best[3]))
@@ -856,11 +870,18 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
                 rows = (n + pad) // 128
                 comps = [x.reshape(rows, 128) for x in
                          [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]]
+                # Host-side per-block cluster compaction for the closest
+                # sweep (primary rays are known here; tmax = miss sentinel
+                # matches the kernel's best-t init).
+                grid = rows // tm
+                big = jnp.full((rows, 128), 0.99 * _BIG, jnp.float32)
+                ids, nlive = _block_live_clusters(
+                    bounds, comps + [big], grid, tm, 1e-4)
                 block = pl.BlockSpec((tm, 128), lambda i, *_: (i, 0),
                                      memory_space=pltpu.VMEM)
                 grid_spec = pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=3,
-                    grid=(rows // tm,),
+                    num_scalar_prefetch=5,  # ids + counts + bounds + tris + shade
+                    grid=(grid,),
                     in_specs=[block] * 6,
                     out_specs=[block] * 4,
                 )
@@ -868,7 +889,7 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
                 lrr, lgg, lbb, ncc = pl.pallas_call(
                     kernel, out_shape=out_shape, grid_spec=grid_spec,
                     interpret=interpret,
-                )(bounds, tris, shade, *comps)
+                )(ids, nlive, bounds, tris, shade, *comps)
                 L = jnp.stack(
                     [lrr.reshape(-1), lgg.reshape(-1), lbb.reshape(-1)], -1
                 )[:n][inv_perm]
