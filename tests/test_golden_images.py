@@ -217,9 +217,10 @@ def test_direct_projective_primal_equals_direct():
 def test_shadow_art_vs_independent_golden():
     """shadow_art content check against the independent NumPy direct
     renderer: emitter quads + wall quads built straight from the XML
-    matrices, curve tube triangles shared from the parsed geometry (the
-    b-spline tessellation is tpu_rt's; the TRANSPORT — visibility, area
-    light sampling, Lambert shading — is fully independent)."""
+    matrices, curve as a DENSE tube tessellation (24 sides — faceting error
+    ~0.9% of the 0.01 wire radius) while tpu_rt renders the EXACT
+    round-cone swept-sphere prims; the transport — visibility, area light
+    sampling, Lambert shading — is fully independent)."""
     import tpu_rt
     from tests.golden_reference import Quad, TriSoup, render_direct
 
@@ -248,13 +249,17 @@ def test_shadow_art_vs_independent_golden():
     w1 = quad([8, 0, 0, 0, 0, 2, 0, 0, 0, 0, 2, -5, 0, 0, 0, 1])
     w2 = quad([0, 0, 2, -5, 0, 2, 0, 0, -8, 0, 0, 0, 0, 0, 0, 1])
 
+    from tpu_rt.scene.types import CURVE
+    from tpu_rt.scene.curves import tessellate_bspline_tube
+
     g = scene.geometry
-    tri_shape = np.asarray(g.tri_shape)
-    curve_sid = int(np.asarray(scene.shape_emitter).shape[0]) - 1
-    curve = tri_shape == curve_sid
-    assert curve.sum() > 1000  # the tessellated tube mesh
-    soup = TriSoup(np.asarray(g.tri_p0)[curve], np.asarray(g.tri_e1)[curve],
-                   np.asarray(g.tri_e2)[curve], albedo=(0.5,) * 3)
+    assert (np.asarray(g.an_type) == CURVE).sum() > 50  # exact prims in use
+    verts, faces, _ = tessellate_bspline_tube(
+        "/root/reference/scenes/meshes/bsplinecurve_circle.txt",
+        samples_per_segment=12, sides=24)
+    p0 = verts[faces[:, 0]]
+    soup = TriSoup(p0, verts[faces[:, 1]] - p0, verts[faces[:, 2]] - p0,
+                   albedo=(0.5,) * 3)
 
     H, W = 32, 64
     golden = render_direct([l1, l2, w1, w2, soup], [], W, H, origin, target,

@@ -72,10 +72,17 @@ def test_polarizers(ref_scenes):
 
 
 def test_shadow_art(ref_scenes):
+    from tpu_rt.scene.types import CURVE
+
     s = tpu_rt.load_file(os.path.join(ref_scenes, "shadow_art.xml"))
     assert s.integrator == INTEGRATOR_DIRECT_PROJECTIVE
     assert s.emitters.n_area == 2
-    assert s.geometry.n_tris > 100  # tessellated bsplinecurve + 2 light quads
+    # bsplinecurve -> exact round-cone swept-sphere prims (not a tube mesh);
+    # the 4 remaining tris are the two emissive light quads
+    an_type = np.asarray(s.geometry.an_type)
+    assert (an_type == CURVE).sum() > 50
+    assert s.geometry.n_tris == 4
+    assert float(np.asarray(s.geometry.an_param)[an_type == CURVE].min()) > 0
     assert s.camera.width == 256 and s.camera.height == 128
 
 

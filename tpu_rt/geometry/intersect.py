@@ -10,6 +10,10 @@ row).  All analytic shapes are canonical in object space:
   cylinder:  x^2 + y^2 = 1, 0 <= z <= 1
   cone:      x^2 + y^2 = (1 - z)^2, 0 <= z <= 1 (base radius 1 at z=0,
              apex (0,0,1))
+  roundcone: swept sphere from (0,0,0) radius r0 to (0,0,1) radius r1
+             (per-prim r0/r1 parameters; exact B-spline curve segments —
+             shadow_art.xml:60-62 'bsplinecurve' via Mitsuba's swept-sphere
+             curve semantics)
 
 Each intersector returns (t, u, v) with t = +inf on miss.  Normal/uv
 reconstruction happens in interaction.py from the hit point.
@@ -135,6 +139,85 @@ def ray_cone(o, d, tmin, tmax):
     z = oz + t * dz
     phi = jnp.arctan2(oy + t * dy, ox + t * dx)
     return t, phi / (2.0 * jnp.pi) + 0.5, z
+
+
+def ray_roundcone(o, d, r0, r1, tmin, tmax):
+    """Swept sphere (round cone) from center (0,0,0) radius r0 to center
+    (0,0,1) radius r1 — the EXACT surface of a linear swept-sphere curve
+    segment (Mitsuba `bsplinecurve` geometry, shadow_art.xml:60-62; the
+    round-3 tube tessellation is replaced by this closed form).
+
+    The side surface is the envelope of the sphere family
+    ``|p - (0,0,s)|^2 = (r0 + s*dr)^2`` (dr = r1 - r0): a point p lies on
+    it iff that quadratic in s has a double root, i.e.
+    ``(p_z + r0*dr)^2 = (1 - dr^2) * (|p|^2 - r0^2)``.  Substituting
+    p = o + t d gives the quadratic solved below; the double-root location
+    ``s* = (p_z + r0*dr) / (1 - dr^2)`` is the tangency parameter, and a
+    side hit is real only for s* in [0, 1] (outside that band the surface
+    is the endpoint sphere caps, gated by the same s*).  Returns
+    (t, u, v): u = clamp(s*, 0, 1) along the axis, v = azimuth in [0, 1).
+    Requires |dr| < 1 (guaranteed by the builder: segment length is
+    normalized to 1 and radii vary slowly along a B-spline).
+    """
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    dr = r1 - r0
+    d2c = 1.0 - dr * dr  # > 0 for valid (non-degenerate) segments
+    dd = dx * dx + dy * dy + dz * dz
+    od_ = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+    b1 = oz + r0 * dr
+
+    def safe_div(num, den, eps=1e-12):
+        return num / jnp.where(jnp.abs(den) < eps,
+                               jnp.where(den < 0, -eps, eps), den)
+
+    # ---- side (envelope cone):  k2 t^2 + 2 k1 t + k0 = 0 -----------------
+    k2 = d2c * dd - dz * dz
+    k1 = d2c * od_ - dz * b1
+    k0 = d2c * (oo - r0 * r0) - b1 * b1
+    disc = k1 * k1 - k2 * k0
+    sq = safe_sqrt(disc)
+    ta = safe_div(-k1 - sq, k2)
+    tb = safe_div(-k1 + sq, k2)
+    t0 = jnp.minimum(ta, tb)
+    t1 = jnp.maximum(ta, tb)
+
+    def side_ok(t):
+        s = safe_div(b1 + t * dz, d2c)
+        return (disc >= 0.0) & (jnp.abs(k2) >= 1e-12) & (s >= 0.0) & (s <= 1.0) \
+            & (t > tmin) & (t < tmax)
+
+    t_side = _select_root(t0, t1, side_ok(t0), side_ok(t1))
+
+    # ---- end caps: only the hull portion where the tangency parameter of
+    # the hit point falls outside [0, 1] is actual surface (the rest of the
+    # endpoint spheres is interior — accepting it would report hits inside
+    # the volume and self-shadow the curve).
+    def cap(cz, r, outside_lo):
+        b = od_ - cz * dz
+        c = oo - 2.0 * cz * oz + cz * cz - r * r
+        dc = b * b - dd * c
+        sqc = safe_sqrt(dc)
+        u0 = safe_div(-b - sqc, dd)
+        u1 = safe_div(-b + sqc, dd)
+
+        def ok(t):
+            s = safe_div(b1 + t * dz, d2c)
+            band = (s < 0.0) if outside_lo else (s > 1.0)
+            return (dc >= 0.0) & band & (t > tmin) & (t < tmax)
+
+        return _select_root(u0, u1, ok(u0), ok(u1))
+
+    t_a = cap(0.0, r0, True)
+    t_b = cap(1.0, r1, False)
+
+    t = jnp.minimum(t_side, jnp.minimum(t_a, t_b))
+    s_hit = jnp.clip(safe_div(b1 + t * dz, d2c), 0.0, 1.0)
+    phi = jnp.arctan2(oy + t * dy, ox + t * dx)
+    u = jnp.where(t < INF, s_hit, 0.0)
+    v = jnp.where(t < INF, phi / (2.0 * jnp.pi) + 0.5, 0.0)
+    return t, u, v
 
 
 def ray_triangle(o, d, p0, e1, e2, tmin, tmax):

@@ -25,7 +25,15 @@ from tpu_rt.core.math import (
     vec3,
 )
 from tpu_rt.geometry import intersect as isect
-from tpu_rt.scene.types import CONE, CYLINDER, DISK, RECTANGLE, SPHERE, Geometry
+from tpu_rt.scene.types import (
+    CONE,
+    CURVE,
+    CYLINDER,
+    DISK,
+    RECTANGLE,
+    SPHERE,
+    Geometry,
+)
 
 # Finite miss sentinel (see tpu_rt.geometry.intersect.INF): keeps jax.grad
 # free of inf * 0 = NaN cotangents through the bounce loop.
@@ -87,20 +95,32 @@ _INTERSECTORS = {
 }
 
 
-def _analytic_sweep(geom: Geometry, atype, oo, od, tmin, tmax):
+def _analytic_sweep(geom: Geometry, atype, params, oo, od, tmin, tmax):
     """Evaluate only the intersectors for analytic types actually present
-    (static dispatch via geom.analytic_types)."""
+    (static dispatch via geom.analytic_types).  ``params`` broadcasts like
+    ``atype`` with a trailing (2,) axis (CURVE r0/r1; unused otherwise)."""
     present = geom.analytic_types or tuple(_INTERSECTORS)
     t = jnp.full(jnp.broadcast_shapes(atype.shape, oo.shape[:-1]), INF)
     u = jnp.zeros_like(t)
     v = jnp.zeros_like(t)
     for code in present:
-        t_i, u_i, v_i = _INTERSECTORS[code](oo, od, tmin, tmax)
+        if code == CURVE:
+            t_i, u_i, v_i = isect.ray_roundcone(
+                oo, od, params[..., 0], params[..., 1], tmin, tmax
+            )
+        else:
+            t_i, u_i, v_i = _INTERSECTORS[code](oo, od, tmin, tmax)
         m = atype == code
         t = jnp.where(m, t_i, t)
         u = jnp.where(m, u_i, u)
         v = jnp.where(m, v_i, v)
     return t, u, v
+
+
+def _an_params(geom: Geometry):
+    if geom.an_param is not None:
+        return geom.an_param
+    return jnp.zeros((geom.n_analytic, 2), jnp.float32)
 
 
 def _intersect_analytic(geom: Geometry, aid, o, d, tmin, tmax):
@@ -109,7 +129,8 @@ def _intersect_analytic(geom: Geometry, aid, o, d, tmin, tmax):
     oo = transform_point(m, o)
     od = transform_vector(m, d)  # NOT normalized: preserves the t parameter
     atype = geom.an_type[aid]
-    return _analytic_sweep(geom, atype, oo, od, tmin, tmax)
+    return _analytic_sweep(geom, atype, _an_params(geom)[aid], oo, od,
+                           tmin, tmax)
 
 
 def _intersect_prim(geom: Geometry, pid, o, d, tmin, tmax):
@@ -172,7 +193,8 @@ def _trace_bruteforce(geom: Geometry, o, d, tmin, tmax) -> Hit:
         oo = jnp.sum(rot[None] * o_f, axis=-1) + trans[None]
         od = jnp.sum(rot[None] * d_f, axis=-1)
         t_a, u_a, v_a = _analytic_sweep(
-            geom, geom.an_type[None, :], oo, od, tmin_b, tmax_b
+            geom, geom.an_type[None, :], _an_params(geom)[None], oo, od,
+            tmin_b, tmax_b
         )
         ts.append(t_a)
         us.append(u_a)
@@ -286,7 +308,8 @@ def _trace_chunked(geom: Geometry, o, d, tmin, tmax, chunk=CHUNK) -> Hit:
         oo = jnp.sum(rot[None] * o_f, axis=-1) + trans[None]
         od = jnp.sum(rot[None] * d_f, axis=-1)
         t_a, u_a, v_a = _analytic_sweep(
-            geom, geom.an_type[None, :], oo, od, tmin_b, best_t[:, None]
+            geom, geom.an_type[None, :], _an_params(geom)[None], oo, od,
+            tmin_b, best_t[:, None]
         )
         ai = jnp.argmin(t_a, axis=1)
         idx = ai[:, None]
@@ -490,6 +513,17 @@ def compute_interaction(scene, o, d, hit: Hit) -> Interaction:
         m_obj = geom.an_to_object[aid]
         p_obj = transform_point(m_obj, p)
         atype = geom.an_type[aid]
+        # CURVE (round-cone swept sphere): the surface point is on the
+        # sphere centered at the tangency parameter s* = (p_z + r0*dr)
+        # / (1 - dr^2) clamped to [0, 1] (clamping lands on the endpoint
+        # cap centers), so the normal is p - (0, 0, s*).
+        par = _an_params(geom)[aid]
+        crv_dr = par[..., 1] - par[..., 0]
+        crv_s = jnp.clip(
+            (p_obj[..., 2] + par[..., 0] * crv_dr)
+            / jnp.maximum(1.0 - crv_dr * crv_dr, 1e-6),
+            0.0, 1.0,
+        )
         n_obj = jnp.where(
             (atype == SPHERE)[..., None],
             p_obj,
@@ -499,10 +533,15 @@ def compute_interaction(scene, o, d, hit: Hit) -> Interaction:
                 jnp.where(
                     (atype == CONE)[..., None],
                     vec3(p_obj[..., 0], p_obj[..., 1], 1.0 - p_obj[..., 2]),
-                    vec3(
-                        jnp.zeros_like(p_obj[..., 0]),
-                        jnp.zeros_like(p_obj[..., 0]),
-                        jnp.ones_like(p_obj[..., 0]),
+                    jnp.where(
+                        (atype == CURVE)[..., None],
+                        vec3(p_obj[..., 0], p_obj[..., 1],
+                             p_obj[..., 2] - crv_s),
+                        vec3(
+                            jnp.zeros_like(p_obj[..., 0]),
+                            jnp.zeros_like(p_obj[..., 0]),
+                            jnp.ones_like(p_obj[..., 0]),
+                        ),
                     ),
                 ),
             ),

@@ -84,7 +84,10 @@ class _Builder:
         self.shape_to_world = []
         self.shape_names = {}
         self.tri = {k: [] for k in ("p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "shape")}
-        self.an = {"type": [], "to_world": [], "shape": []}
+        # "param": per-prim (r0, r1) for CURVE, zeros otherwise; "bb": exact
+        # world AABB override (None -> transformed [-1,1]^3 corners).
+        self.an = {"type": [], "to_world": [], "shape": [], "param": [],
+                   "bb": []}
         self.area_radiance = []
         self.area_shape = []
         self.emissive_tris = []  # (emitter_idx, list of (prim placeholder) tri indices)
@@ -244,10 +247,61 @@ class _Builder:
                 mesh["vertices"], mesh["faces"], normals, mesh["uvs"], to_world, shape_id
             )
         elif stype == "bsplinecurve":
-            from tpu_rt.scene.curves import tessellate_bspline_tube
+            import os as _os
 
-            verts, faces, normals = tessellate_bspline_tube(sd["filename"])
-            tri_range = self._add_mesh(verts, faces, normals, None, to_world, shape_id)
+            if _os.environ.get("TPU_RT_CURVE_MODE", "exact") == "mesh":
+                # Legacy tube tessellation (round-2 representation), kept as
+                # a debug/compare knob.
+                from tpu_rt.scene.curves import tessellate_bspline_tube
+
+                verts, faces, normals = tessellate_bspline_tube(sd["filename"])
+                tri_range = self._add_mesh(verts, faces, normals, None,
+                                           to_world, shape_id)
+            else:
+                # EXACT swept-sphere geometry (Mitsuba `bsplinecurve`
+                # semantics, shadow_art.xml:60-62): the spline is flattened
+                # to linear spans whose chord error is far below the tube
+                # radius, and each span is a closed-form round-cone prim
+                # (geometry/intersect.ray_roundcone) — no faceting, exact
+                # normals, ~16x fewer prims than the 8-sided tube mesh.
+                from tpu_rt.scene.curves import flatten_bspline
+
+                pts = flatten_bspline(sd["filename"])
+                M = np.asarray(to_world, np.float64)
+                axn = [float(np.linalg.norm(M[:3, i])) for i in range(3)]
+                s_uni = sum(axn) / 3.0
+                if max(axn) - min(axn) > 1e-4 * max(s_uni, 1e-12):
+                    raise NotImplementedError(
+                        "bsplinecurve with non-uniform to_world scale"
+                    )
+                ctrs = pts[:, :3] @ M[:3, :3].T + M[:3, 3]
+                radii = pts[:, 3] * s_uni
+                for i in range(len(ctrs) - 1):
+                    pa, pb = ctrs[i], ctrs[i + 1]
+                    r0, r1 = float(radii[i]), float(radii[i + 1])
+                    axis = pb - pa
+                    h = float(np.linalg.norm(axis))
+                    if h < 1e-9:
+                        continue
+                    if abs(r1 - r0) >= 0.99 * h:
+                        # one end sphere (nearly) contains the other: the
+                        # envelope formula degenerates (1 - dr^2 <= 0)
+                        raise NotImplementedError(
+                            "bsplinecurve radius varies faster than arc "
+                            "length; refine samples_per_span"
+                        )
+                    frame = _frame_from_z(axis / h)
+                    mseg = np.eye(4, dtype=np.float64)
+                    mseg[:3, :3] = frame.astype(np.float64) * h
+                    mseg[:3, 3] = pa
+                    self.an["type"].append(T.CURVE)
+                    self.an["to_world"].append(mseg.astype(np.float32))
+                    self.an["shape"].append(shape_id)
+                    # object units: the segment is normalized to length 1
+                    self.an["param"].append((r0 / h, r1 / h))
+                    lo = np.minimum(pa - r0, pb - r1).astype(np.float32) - 1e-6
+                    hi = np.maximum(pa + r0, pb + r1).astype(np.float32) + 1e-6
+                    self.an["bb"].append((lo, hi))
         elif stype in _ANALYTIC_ENUM:
             if stype == "sphere" and ("center" in sd or "radius" in sd):
                 c = np.asarray(sd.get("center", (0.0, 0.0, 0.0)), np.float32)
@@ -279,6 +333,8 @@ class _Builder:
                 self.an["type"].append(_ANALYTIC_ENUM[stype])
                 self.an["to_world"].append(to_world)
                 self.an["shape"].append(shape_id)
+                self.an["param"].append((0.0, 0.0))
+                self.an["bb"].append(None)
         else:
             raise ValueError(f"unsupported shape type {stype!r}")
 
@@ -413,9 +469,6 @@ class _Builder:
             bb_max = np.maximum(np.maximum(p0, p1), p2) + 1e-6
             bbs.append((bb_min, bb_max))
         if n_an:
-            corners = np.array(
-                [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (0, 1)], np.float32
-            )
             # canonical bbox z-range differs per type; use [-1,1]^3 superset
             corners = np.array(
                 [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)], np.float32
@@ -423,7 +476,15 @@ class _Builder:
             pts = np.einsum("aij,cj->aci", an_to_world[:, :3, :3], corners) + an_to_world[
                 :, None, :3, 3
             ]
-            bbs.append((pts.min(axis=1) - 1e-6, pts.max(axis=1) + 1e-6))
+            an_lo = pts.min(axis=1) - 1e-6
+            an_hi = pts.max(axis=1) + 1e-6
+            # exact world-AABB overrides (CURVE prims: union of the two
+            # endpoint spheres — the [-1,1]^3 superset does NOT cover the
+            # cap bulges at z in [-r0, 1+r1])
+            for i, bb in enumerate(self.an["bb"]):
+                if bb is not None:
+                    an_lo[i], an_hi[i] = bb
+            bbs.append((an_lo, an_hi))
         if bbs:
             bb_min = np.concatenate([b[0] for b in bbs], axis=0)
             bb_max = np.concatenate([b[1] for b in bbs], axis=0)
@@ -458,6 +519,9 @@ class _Builder:
             an_to_world=jnp.asarray(an_to_world),
             an_to_object=jnp.asarray(an_to_object),
             an_shape=jnp.asarray(np.asarray(self.an["shape"], np.int32)),
+            an_param=jnp.asarray(
+                np.asarray(self.an["param"], np.float32).reshape(n_an, 2)
+            ),
             bvh_min=jnp.asarray(bvh["node_min"]),
             bvh_max=jnp.asarray(bvh["node_max"]),
             bvh_a=jnp.asarray(bvh["a"]),

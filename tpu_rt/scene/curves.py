@@ -31,6 +31,19 @@ def _bspline_eval(cp, t):
     return b0 * c0 + b1 * c1 + b2 * c2 + b3 * c3
 
 
+def flatten_bspline(path, samples_per_span=4):
+    """Sample the cubic B-spline (positions + radii) densely enough that the
+    chord error is far below the tube radius; the exact swept-sphere
+    intersector (geometry/intersect.ray_roundcone) then intersects each
+    linear segment in closed form.  Returns (P, 4) rows of x y z r."""
+    cp = load_curve_points(path)
+    n_span = max(cp.shape[0] - 3, 1)
+    t = np.linspace(0.0, 1.0, n_span * samples_per_span + 1)
+    pts = _bspline_eval(cp, t)
+    pts[:, 3] = np.maximum(pts[:, 3], 1e-6)
+    return pts
+
+
 def tessellate_bspline_tube(path, samples_per_segment=8, sides=8):
     """Sweep circles along the spline, producing (vertices, faces, normals)."""
     cp = load_curve_points(path)

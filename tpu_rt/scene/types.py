@@ -27,6 +27,7 @@ RECTANGLE = 1
 DISK = 2
 CYLINDER = 3
 CONE = 4
+CURVE = 5  # round-cone swept-sphere curve segment (an_param = [r0, r1])
 
 # BSDF type enums
 BSDF_DIFFUSE = 0
@@ -111,6 +112,10 @@ class Geometry:
     cl_tris: Optional[jnp.ndarray] = None  # [C, 9, 128]
     cl_bounds: Optional[jnp.ndarray] = None  # [C, 8]
     cl_prim: Optional[jnp.ndarray] = None  # [C * 128]
+
+    # Per-prim scalar parameters ([A, 2]; CURVE: [r0, r1] in object units,
+    # zeros for parameter-free types).  Optional for pytree compat.
+    an_param: Optional[jnp.ndarray] = None
 
     n_tris: int = flax.struct.field(pytree_node=False, default=0)
     n_analytic: int = flax.struct.field(pytree_node=False, default=0)
