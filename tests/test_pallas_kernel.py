@@ -122,7 +122,11 @@ def test_pallas_vs_xla_cbox_statistical(cbox):
     standard error.
 
     Runs in interpret mode on CPU at 16^2; on a TPU backend it upgrades
-    itself to 64^2 x 64 spp.
+    itself to 64^2 x 64 spp.  This small-res CI gate catches gross transport
+    divergence only — the variant that actually CONSTRAINS bias is
+    tools/bias_gate_tpu.py (64^2 x 64 spp x 4 seeds on the real chip,
+    Welch z-gate + 1% global-mean bound; committed result quoted in
+    PARITY.md).
     """
     import jax
 
@@ -133,14 +137,15 @@ def test_pallas_vs_xla_cbox_statistical(cbox):
     scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=res, spp=1)
     scene = scene.replace(max_depth=4)
 
+    n_seeds = 3
     imgs_p = np.stack([
         np.asarray(render_pallas(scene, spp=spp, seed=7 + i,
                                  interpret=not on_tpu, spp_per_pass=spp))
-        for i in range(2)
+        for i in range(n_seeds)
     ])
     imgs_x = np.stack([
         np.asarray(render_xla(scene, spp=spp, seed=91 + i, spp_per_pass=8))
-        for i in range(2)
+        for i in range(n_seeds)
     ])
 
     b = res // 4  # 4x4 grid of blocks
@@ -150,13 +155,15 @@ def test_pallas_vs_xla_cbox_statistical(cbox):
 
     bp, bx = blocks(imgs_p), blocks(imgs_x)
     mp, mx = bp.mean(axis=0), bx.mean(axis=0)
-    # per-block std-error estimated from the seed-to-seed spread (2 samples
-    # each -> pooled |d|/2 is a crude sigma; use a generous 6-sigma gate
-    # plus an absolute floor to avoid zero-variance false positives)
-    sig = 0.5 * (np.abs(bp[0] - bp[1]) + np.abs(bx[0] - bx[1])) / 2 + 5e-3
+    # per-block standard error from the seed spread (ddof=1 over n_seeds);
+    # the absolute floor guards the near-zero-variance dark blocks and the
+    # noisiness of a 3-sample std estimate
+    se = np.sqrt(
+        bp.std(axis=0, ddof=1) ** 2 + bx.std(axis=0, ddof=1) ** 2
+    ) / np.sqrt(n_seeds) + 3e-3
     diff = np.abs(mp - mx)
-    assert (diff <= 6 * sig).all(), (
-        f"max block deviation {diff.max():.4f} vs gate {(6 * sig).min():.4f}"
+    assert (diff <= 6 * se).all(), (
+        f"max block deviation {diff.max():.4f} vs gate {(6 * se).min():.4f}"
     )
     # Global means agree within MC noise: at 16^2 the mean is dominated by
     # a handful of luminaire/caustic pixels, so sigma(mean) is ~3-4% at
