@@ -132,3 +132,28 @@ def test_curve_exact_matches_mesh_mode_render():
     be, bm = blocks(img_e), blocks(img_m)
     rel = np.sqrt(((be - bm) ** 2).mean()) / max(bm.mean(), 1e-9)
     assert rel < 0.05, f"exact-vs-mesh curve render rel {rel:.4f}"
+
+
+def test_curve_radius_gradient_is_finite_and_nonzero():
+    """Inverse shadow art: the exact curve prims are differentiable — the
+    render gradient w.r.t. the swept-sphere radii (geometry.an_param) is
+    finite and nonzero (a thicker wire blocks more light).  The reference's
+    direct_projective integrator exists exactly to differentiate such
+    silhouettes (shadow_art.xml:10); here the closed-form intersector gives
+    the interior-derivative part through plain jax.grad."""
+    import jax
+    import jax.numpy as jnp
+
+    scene = tpu_rt.load_file(os.path.join(SCENES, "shadow_art.xml"),
+                             resx=48, resy=24)
+    from tpu_rt.integrator.path import render as render_xla
+
+    def loss(ap):
+        sc = scene.replace(
+            geometry=scene.geometry.replace(an_param=ap))
+        img = render_xla(sc, spp=8, seed=4, max_depth=2)  # direct
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.geometry.an_param))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
