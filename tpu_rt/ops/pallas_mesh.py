@@ -391,7 +391,22 @@ def _block_live_clusters(bounds, comps, grid, tm, tmin):
     olo, ohi = zip(*(rng(c) for c in comps[0:3]))
     dlo, dhi = zip(*(rng(c) for c in comps[3:6]))
     _, tmx = rng(comps[6])
+    live = _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin)
+    return _compact_live(live)
 
+
+def _compact_live(live):
+    """(grid, C) bool -> (ids compacted-to-front (grid, C) i32, counts)."""
+    ids = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
+    nlive = live.sum(1, keepdims=True).astype(jnp.int32)
+    return ids, nlive
+
+
+def _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin):
+    """Interval-arithmetic slab test: per (block, cluster) liveness for rays
+    with per-block component intervals o in [olo, ohi], d in [dlo, dhi] and
+    parameter range [tmin, tmx].  All inputs broadcast as (grid, 1); returns
+    (grid, C) bool, a conservative superset of the kernel's per-lane test."""
     # Interval reciprocal matching the kernel's sign-preserving clamp
     # (|d| < 1e-12 -> +/-1e-12): an interval touching 0 spans +/-1e12.
     def inv_iv(lo, hi):
@@ -401,7 +416,8 @@ def _block_live_clusters(bounds, comps, grid, tm, tmin):
         return (jnp.where(spans, -1e12, 1.0 / safe(hi)),
                 jnp.where(spans, 1e12, 1.0 / safe(lo)))
 
-    tn_lb = jnp.full((grid, 1), tmin, jnp.float32)
+    tn_lb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
+                             olo[0].shape).astype(jnp.float32)
     tf_ub = tmx
     for a in range(3):
         il, ih = inv_iv(dlo[a], dhi[a])
@@ -422,10 +438,69 @@ def _block_live_clusters(bounds, comps, grid, tm, tmin):
         tn_lb = jnp.maximum(tn_lb, lo_t)
         tf_ub = jnp.minimum(tf_ub, hi_t)
 
-    live = tn_lb <= tf_ub           # (grid, C), conservative superset
-    ids = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
-    nlive = live.sum(1, keepdims=True).astype(jnp.int32)
-    return ids, nlive
+    return tn_lb <= tf_ub           # (grid, C), conservative superset
+
+
+def _shadow_live_clusters(bounds, comps, grid, tm, lights, mesh_lo, mesh_hi):
+    """Per-block cluster cull for the fused direct kernel's SHADOW sweeps.
+
+    Shadow origins are hit points known only in-kernel, but they are
+    conservatively bounded host-side: a hit lies on the mesh AND on its
+    primary ray, so per block the hit region H is (ray reach region, from
+    the block's o/d intervals over t in [0, T]) intersected with the mesh
+    AABB (T = farthest mesh-box corner from the block's origin box; camera
+    directions are unit so t is distance).  Every shadow segment then goes
+    from somewhere in H to the light point: parametrized p(u) = h + u(L-h),
+    u in [0,1], its component intervals are origin H and direction L - H,
+    which feed the same interval slab test as the closest sweep.  Purely
+    conservative: real segments are a subset, interval arithmetic only adds
+    false positives.
+
+    Returns (ids (n_lights*grid, C) i32, nlive (n_lights*grid, 1) i32),
+    flattened so the kernel indexes [li*grid + pid].
+    """
+    blk = tm * 128
+
+    def rng(x):
+        xb = x.reshape(grid, blk)
+        return xb.min(1, keepdims=True), xb.max(1, keepdims=True)
+
+    olo, ohi = zip(*(rng(c) for c in comps[0:3]))
+    dlo, dhi = zip(*(rng(c) for c in comps[3:6]))
+
+    # farthest distance from the origin box to the mesh box, per component
+    T2 = None
+    for a in range(3):
+        span = jnp.maximum(jnp.abs(mesh_hi[a] - olo[a]),
+                           jnp.abs(ohi[a] - mesh_lo[a]))
+        T2 = span * span if T2 is None else T2 + span * span
+    T = jnp.sqrt(T2)
+
+    hit_lo, hit_hi, empty = [], [], None
+    for a in range(3):
+        # t*d over t in [0, T]: products of interval endpoints
+        p0, p1 = T * dlo[a], T * dhi[a]
+        td_lo = jnp.minimum(jnp.minimum(p0, p1), 0.0)
+        td_hi = jnp.maximum(jnp.maximum(p0, p1), 0.0)
+        lo = jnp.maximum(olo[a] + td_lo, mesh_lo[a])
+        hi = jnp.minimum(ohi[a] + td_hi, mesh_hi[a])
+        e = lo > hi  # block's rays cannot reach the mesh box at all
+        empty = e if empty is None else (empty | e)
+        hit_lo.append(lo)
+        hit_hi.append(hi)
+
+    ids_l, n_l = [], []
+    one = jnp.ones_like(T)
+    for (lpos, _i) in lights:
+        slo = [lpos[a] - hit_hi[a] for a in range(3)]
+        shi = [lpos[a] - hit_lo[a] for a in range(3)]
+        live = _interval_slab_live(bounds, hit_lo, hit_hi, slo, shi,
+                                   one, 0.0)
+        live = live & ~empty
+        ids, nlive = _compact_live(live)
+        ids_l.append(ids)
+        n_l.append(nlive)
+    return jnp.concatenate(ids_l, 0), jnp.concatenate(n_l, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tmin", "interpret"))
@@ -575,11 +650,11 @@ def mesh_intersect(clusters, o, d, tmin=1e-4, tmax=None, tm=DEFAULT_TM,
 # all-diffuse BSDFs, point lights only.  Outside that, callers fall back to
 # the two-phase path.
 
-def _build_direct_kernel(lights, tmin, n_clusters):
+def _build_direct_kernel(lights, tmin, n_clusters, grid):
     from tpu_rt.ops.pallas_path import _add, _dot, _normalize, _scale
 
-    def kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, shade_ref,
-               ox, oy, oz, dx, dy, dz, lr, lg, lb, nc):
+    def kernel(ids_ref, nlive_ref, ids_s_ref, nlive_s_ref, bounds_ref,
+               tri_ref, shade_ref, ox, oy, oz, dx, dy, dz, lr, lg, lb, nc):
         # Hoisted: pl.program_id cannot be lowered inside fori bodies in
         # interpret mode (r3 note).
         pid = pl.program_id(0)
@@ -684,9 +759,8 @@ def _build_direct_kernel(lights, tmin, n_clusters):
         # Closest sweep walks only this ray block's conservatively-live
         # clusters (host interval cull, _block_live_clusters — the same
         # compaction that took the intersect kernel 87->321M on teapot).
-        # Shadow sweeps keep the full loop: their origins are hit points,
-        # unknown host-side, and the per-cluster live cond already
-        # early-outs once every lane is occluded or invalid.
+        # Shadow sweeps walk per-(block, light) live lists from the
+        # segment-interval cull (_shadow_live_clusters).
         init = (big,) + (zeros,) * 9
 
         def closest_live_body(j, best):
@@ -715,7 +789,7 @@ def _build_direct_kernel(lights, tmin, n_clusters):
         # (hit + front-facing), matching the XLA renderer's convention
         ray_n = jnp.ones(shape, jnp.float32)
         inv_pi = 1.0 / np.pi
-        for (lpos, lint) in lights:
+        for li, (lpos, lint) in enumerate(lights):
             to_l = (lpos[0] - p_hit[0], lpos[1] - p_hit[1], lpos[2] - p_hit[2])
             dist2 = jnp.maximum(_dot(to_l, to_l), 1e-20)
             dist = jnp.sqrt(dist2)
@@ -748,7 +822,14 @@ def _build_direct_kernel(lights, tmin, n_clusters):
 
                 return jax.lax.cond(live, process, lambda x: x, occ_f)
 
-            occ_f = jax.lax.fori_loop(0, n_clusters, shadow_body, zeros)
+            # Walk only this (block, light)'s conservatively-live clusters
+            # (host segment-interval cull, _shadow_live_clusters: hit
+            # region = ray reach x mesh AABB, segment to the light point).
+            def shadow_live_body(j, occ_f):
+                return shadow_body(ids_s_ref[li * grid + pid, j], occ_f)
+
+            occ_f = jax.lax.fori_loop(0, nlive_s_ref[li * grid + pid, 0],
+                                      shadow_live_body, zeros)
             lit = jnp.where(valid & (occ_f < 0.5), cos_o / dist2, 0.0) * inv_pi
             L = (
                 L[0] + albedo[0] * lint[0] * lit,
@@ -853,10 +934,11 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
             jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), -1
         ).reshape(-1, 2).astype(jnp.float32)
         n_clusters = g.cl_tris.shape[0]
-        kernel = _build_direct_kernel(lights, 1e-4, n_clusters)
+        n_grid = ((n + pad) // 128) // tm
+        kernel = _build_direct_kernel(lights, 1e-4, n_clusters, n_grid)
 
         @jax.jit
-        def passes(bounds, tris, shade, cam_obj, fv, fw, keys):
+        def passes(bounds, tris, shade, cam_obj, mesh_box, fv, fw, keys):
             def one(carry, key_i):
                 fv, fw, nacc = carry
                 jitter = jax.random.uniform(key_i, (n, 2))
@@ -877,10 +959,15 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
                 big = jnp.full((rows, 128), 0.99 * _BIG, jnp.float32)
                 ids, nlive = _block_live_clusters(
                     bounds, comps + [big], grid, tm, 1e-4)
+                ids_s, nlive_s = _shadow_live_clusters(
+                    bounds, comps, grid, tm, lights,
+                    mesh_box[0], mesh_box[1])
                 block = pl.BlockSpec((tm, 128), lambda i, *_: (i, 0),
                                      memory_space=pltpu.VMEM)
                 grid_spec = pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=5,  # ids + counts + bounds + tris + shade
+                    # closest ids+counts, shadow ids+counts, bounds, tris,
+                    # shade
+                    num_scalar_prefetch=7,
                     grid=(grid,),
                     in_specs=[block] * 6,
                     out_specs=[block] * 4,
@@ -889,7 +976,7 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
                 lrr, lgg, lbb, ncc = pl.pallas_call(
                     kernel, out_shape=out_shape, grid_spec=grid_spec,
                     interpret=interpret,
-                )(ids, nlive, bounds, tris, shade, *comps)
+                )(ids, nlive, ids_s, nlive_s, bounds, tris, shade, *comps)
                 L = jnp.stack(
                     [lrr.reshape(-1), lgg.reshape(-1), lbb.reshape(-1)], -1
                 )[:n][inv_perm]
@@ -920,8 +1007,22 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
     # One dispatch for all spp (scan length does not change the compile or
     # the HBM footprint; per-chunk dispatches cost ~35 ms tunnel RTT each).
     keys, _ = _make_keys_seeds(root, jnp.int32(0), jnp.int32(0), spp)
+    # Mesh AABB for the shadow-segment cull, from the REAL triangles (the
+    # cluster bound table contains far-point pad boxes that would blow it
+    # up).  Computed eagerly from device arrays: three reductions, cheap.
+    p0 = g.tri_p0
+    p1 = g.tri_p0 + g.tri_e1
+    p2 = g.tri_p0 + g.tri_e2
+    mesh_lo = jnp.minimum(jnp.minimum(p0.min(0), p1.min(0)), p2.min(0))
+    mesh_hi = jnp.maximum(jnp.maximum(p0.max(0), p1.max(0)), p2.max(0))
+    # pad covers the kernel's spawn offset (1e-4 * pscale along the normal)
+    # so offset shadow origins stay inside the modeled hit region
+    box_pad = 2e-4 * jnp.maximum(
+        1.0, jnp.maximum(jnp.abs(mesh_lo).max(), jnp.abs(mesh_hi).max())
+    )
+    mesh_box = jnp.stack([mesh_lo - box_pad, mesh_hi + box_pad])
     fv, fw, nacc = fn(jnp.asarray(g.cl_bounds), jnp.asarray(g.cl_tris),
-                      shade, scene.camera, fv, fw, keys)
+                      shade, scene.camera, mesh_box, fv, fw, keys)
     # honest count from the kernel (primary + actually-cast shadow rays;
     # ADVICE r2: the old spp*H*W*(1+L) figure counted shadow rays for
     # missed primaries too).  Lazy device sum — int() it to read.
