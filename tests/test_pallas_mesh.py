@@ -120,6 +120,20 @@ def test_fused_direct_kernel_matches_xla(teapot_scene):
     assert np.abs(blk(imp) - blk(imx)).max() < 0.12 * max(imx.max(), 1e-9)
 
 
+def test_fused_direct_sharded_matches_single_chip():
+    """Sample-sharded fused direct render over the virtual 8-device mesh
+    equals the single-chip render on the same seed set (films are linear in
+    samples; psum vs scan only reorders f32 adds)."""
+    scene = tpu_rt.load_file("/root/reference/scenes/simple.xml", res=32,
+                             spp=1)
+    img1 = np.asarray(pallas_mesh.mesh_direct_render(scene, spp=8, seed=3))
+    img8 = np.asarray(
+        pallas_mesh.mesh_direct_render_sharded(scene, spp=8, seed=3)
+    )
+    np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=1e-6)
+    assert img1.mean() > 0
+
+
 def test_fused_direct_scope_guard():
     """cbox (area lights, non-mesh) is out of the fused kernel's scope."""
     scene = tpu_rt.load_file("/root/reference/scenes/cbox.xml", res=16, spp=1)

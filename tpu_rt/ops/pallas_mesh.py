@@ -896,21 +896,15 @@ def bake_direct_scene(scene):
 _DIRECT_FN_CACHE = {}
 
 
-def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
-                       interpret=None, baked=None):
-    """Fused direct-illumination render for mesh+point-light scenes.
-
-    Returns (H, W, 3); raises ValueError when the scene is out of scope.
-    """
-    if interpret is None:
-        interpret = INTERPRET
+def _direct_render_setup(scene, tm, interpret, baked):
+    """Shared setup for mesh_direct_render{,_sharded}: returns the memoized
+    whole-render fn plus its prepared array arguments (minus keys/films)."""
     baked = baked if baked is not None else bake_direct_scene(scene)
     if baked is None:
         raise ValueError("scene not supported by the direct mesh megakernel")
     lights, shade = baked
     g = scene.geometry
     c = scene.camera
-    spp = c.spp if spp is None else spp
     H, W = c.height, c.width
 
     # Content-derived statics only (ADVICE r2: id() values are recycled
@@ -998,15 +992,6 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
 
         _DIRECT_FN_CACHE[key] = fn = passes
 
-    from tpu_rt.ops.pallas_path import _make_keys_seeds
-    from tpu_rt.sensor import film as _film
-
-    fv = jnp.zeros((H, W, 3), jnp.float32)
-    fw = jnp.zeros((H, W), jnp.float32)
-    root = jax.random.PRNGKey(seed)
-    # One dispatch for all spp (scan length does not change the compile or
-    # the HBM footprint; per-chunk dispatches cost ~35 ms tunnel RTT each).
-    keys, _ = _make_keys_seeds(root, jnp.int32(0), jnp.int32(0), spp)
     # Mesh AABB for the shadow-segment cull, from the REAL triangles (the
     # cluster bound table contains far-point pad boxes that would blow it
     # up).  Computed eagerly from device arrays: three reductions, cheap.
@@ -1021,10 +1006,78 @@ def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
         1.0, jnp.maximum(jnp.abs(mesh_lo).max(), jnp.abs(mesh_hi).max())
     )
     mesh_box = jnp.stack([mesh_lo - box_pad, mesh_hi + box_pad])
-    fv, fw, nacc = fn(jnp.asarray(g.cl_bounds), jnp.asarray(g.cl_tris),
-                      shade, scene.camera, mesh_box, fv, fw, keys)
+    args = (jnp.asarray(g.cl_bounds), jnp.asarray(g.cl_tris), shade,
+            scene.camera, mesh_box)
+    return fn, args, H, W
+
+
+def mesh_direct_render(scene, spp=None, seed=0, tm=DEFAULT_TM,
+                       interpret=None, baked=None):
+    """Fused direct-illumination render for mesh+point-light scenes.
+
+    Returns (H, W, 3); raises ValueError when the scene is out of scope.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    spp = scene.camera.spp if spp is None else spp
+    fn, args, H, W = _direct_render_setup(scene, tm, interpret, baked)
+
+    from tpu_rt.ops.pallas_path import _make_keys_seeds
+    from tpu_rt.sensor import film as _film
+
+    fv = jnp.zeros((H, W, 3), jnp.float32)
+    fw = jnp.zeros((H, W), jnp.float32)
+    root = jax.random.PRNGKey(seed)
+    # One dispatch for all spp (scan length does not change the compile or
+    # the HBM footprint; per-chunk dispatches cost ~35 ms tunnel RTT each).
+    keys, _ = _make_keys_seeds(root, jnp.int32(0), jnp.int32(0), spp)
+    fv, fw, nacc = fn(*args, fv, fw, keys)
     # honest count from the kernel (primary + actually-cast shadow rays;
     # ADVICE r2: the old spp*H*W*(1+L) figure counted shadow rays for
     # missed primaries too).  Lazy device sum — int() it to read.
     mesh_direct_render.last_ray_count = nacc
+    return _film.develop(fv, fw)
+
+
+def mesh_direct_render_sharded(scene, spp=None, seed=0, mesh=None,
+                               tm=DEFAULT_TM, interpret=None, baked=None):
+    """Data-parallel fused direct render: spp samples split over the device
+    mesh, each chip runs the megakernel on its sample chunk, films psum over
+    ICI (SURVEY §2c mapping; mirrors parallel.render.render_pallas_sharded
+    for the mesh kernel — VERDICT r2 item 4).
+
+    Requires spp % n_devices == 0.  Returns (H, W, 3) replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_rt.ops.pallas_path import _make_keys_seeds
+    from tpu_rt.parallel.render import default_mesh
+    from tpu_rt.sensor import film as _film
+
+    if interpret is None:
+        interpret = INTERPRET
+    mesh = mesh or default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    spp = scene.camera.spp if spp is None else spp
+    if spp % n_dev:
+        raise ValueError(f"spp={spp} not divisible by {n_dev} devices")
+    fn, args, H, W = _direct_render_setup(scene, tm, interpret, baked)
+
+    root = jax.random.PRNGKey(seed)
+    keys, _ = _make_keys_seeds(root, jnp.int32(0), jnp.int32(0), spp)
+
+    def shard_fn(keys_shard):
+        fv = jnp.zeros((H, W, 3), jnp.float32)
+        fw = jnp.zeros((H, W), jnp.float32)
+        fv, fw, nacc = fn(*args, fv, fw, keys_shard)
+        return (jax.lax.psum(fv, axis), jax.lax.psum(fw, axis),
+                jax.lax.psum(nacc, axis))
+
+    fv, fw, nacc = jax.jit(shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(), P(), P()),
+        check_rep=False,
+    ))(keys)
+    mesh_direct_render_sharded.last_ray_count = nacc
     return _film.develop(fv, fw)
