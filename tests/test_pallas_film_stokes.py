@@ -216,6 +216,31 @@ def test_stokes_kernel_diffuse_I_parity():
     np.testing.assert_allclose(S[..., 3, :], 0.0, atol=1e-6)
 
 
+def test_render_stokes_sharded_matches_single_chip(ref_scenes):
+    """Sample-sharded Stokes megakernel render over the virtual 8-device
+    mesh equals the single-chip render on the same seed range (seed0 +
+    [0, spp) partitioned over devices; psum vs scan only reorders adds)."""
+    import jax
+    import os
+
+    from tpu_rt.parallel.render import (
+        default_mesh,
+        render_stokes_pallas_sharded,
+    )
+
+    scene = tpu_rt.load_file(os.path.join(ref_scenes, "cbox_pol.xml"),
+                             spp=4, res=12)
+    scene = scene.replace(max_depth=3)
+    mesh = default_mesh(jax.devices()[:8])
+    S_sh = np.asarray(render_stokes_pallas_sharded(
+        scene, spp=8, seed=5, mesh=mesh, interpret=True
+    ))
+    S_1 = np.asarray(pp.render_stokes_pallas(scene, spp=8, seed=5,
+                                             interpret=True))
+    assert S_sh.shape == S_1.shape == (12, 12, 4, 3)
+    np.testing.assert_allclose(S_sh, S_1, rtol=2e-5, atol=1e-6)
+
+
 def test_stokes_kernel_cbox_pol_vs_xla(ref_scenes, interpret_on):
     """cbox_pol through the Mueller megakernel vs the XLA stokes tracer:
     I within MC noise, Q/U polarization magnitudes comparable, and the

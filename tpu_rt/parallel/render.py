@@ -162,6 +162,69 @@ def render_pallas_sharded(scene: Scene, spp=None, seed=0, mesh=None,
     return img
 
 
+def render_stokes_pallas_sharded(scene: Scene, spp=None, seed=0, mesh=None,
+                                 tile_rows=None, interpret=None):
+    """Multi-chip polarized render through the Stokes Mueller megakernel:
+    the single-chip seed range seed0 + [0, spp) is partitioned over the
+    device mesh (device i scans its contiguous k-seed slice), partial
+    (H, W, 12) Stokes films psum over ICI — so the result equals the
+    single-chip render_stokes_pallas up to f32 add order.
+
+    Requires spp % n_devices == 0.  Returns (H, W, 4, 3).
+    """
+    from tpu_rt.ops import pallas_path as pp
+
+    mesh = mesh or default_mesh()
+    if interpret is None:
+        interpret = pp.INTERPRET
+    if tile_rows is None:
+        tile_rows = 8 if interpret else 16
+    bs = pp.bake_scene(scene)
+    if not pp.stokes_in_scope(bs):
+        raise ValueError("scene not supported by the stokes megakernel")
+    c = scene.camera
+    spp = c.spp if spp is None else spp
+    n_dev = mesh.devices.size
+    assert spp % n_dev == 0, f"spp {spp} must divide over {n_dev} devices"
+    k = spp // n_dev
+    H, W = c.height, c.width
+    axis = mesh.axis_names[0]
+
+    seed0 = jnp.int32(seed * 100003)
+    seeds = seed0 + jnp.arange(spp, dtype=jnp.int32).reshape(n_dev, k)
+
+    def shard_fn(seeds_shard):
+        def one(carry, seed_i):
+            fv, fw, acc = carry
+            S, jitter, n_rays = pp.pallas_stokes_trace(
+                bs, c, seed_i, tile_rows=tile_rows, interpret=interpret
+            )
+            S = S.reshape(-1, 12)
+            ok = jnp.all(jnp.isfinite(S), axis=-1)
+            fv, fw = film_mod.splat_aligned(
+                fv, fw, jitter.reshape(H, W, 2),
+                jnp.where(ok[:, None], S, 0.0).reshape(H, W, 12),
+                ok.reshape(H, W), c.filter_type,
+            )
+            return (fv, fw, acc + n_rays), None
+
+        fv = jnp.zeros((H, W, 12), jnp.float32)
+        fw = jnp.zeros((H, W), jnp.float32)
+        (fv, fw, acc), _ = jax.lax.scan(
+            one, (fv, fw, jnp.zeros((), jnp.int32)), seeds_shard[0]
+        )
+        return (jax.lax.psum(fv, axis), jax.lax.psum(fw, axis),
+                jax.lax.psum(acc, axis))
+
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(),) * 3,
+        check_vma=False,
+    )
+    fv, fw, n_rays = jax.jit(fn)(seeds)
+    render_stokes_pallas_sharded.last_ray_count = n_rays
+    return film_mod.develop(fv, fw).reshape(H, W, 4, 3)
+
+
 def render_sharded(scene: Scene, spp=None, seed=0, mesh=None, max_depth=None):
     """Full multi-chip render; numerically matches the single-chip
     tpu_rt.integrator.path.render up to sample assignment."""
