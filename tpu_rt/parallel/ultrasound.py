@@ -56,3 +56,49 @@ def simulate_acquisition_sharded(scene: Scene, seed=0, rays_per_pair=8,
         check_vma=False,
     )
     return fn(scene, seeds)
+
+
+def simulate_acquisition_pallas_sharded(scene: Scene, seed=0,
+                                        rays_per_pair=8, mesh: Mesh = None,
+                                        interpret=False):
+    """Sharded acquisition through the ultrasound MEGAKERNEL
+    (ops/pallas_us.py): every device traces its samples-per-pair slice
+    with the Pallas bounce kernel under its own RNG stream and the
+    per-chip RF buffers psum-average over ICI — the kernel-speed
+    counterpart of simulate_acquisition_sharded (which shards the XLA
+    tracer).
+
+    Both paths normalize their local buffer by the LOCAL samples per
+    pair, so the psum/n_dev here is the mean over all
+    n_dev * ceil(rays_per_pair / n_dev) samples.  Raises ValueError when
+    the scene is outside kernel scope (caller falls back to the XLA
+    sharded path).  Returns (channel_buf [A,E,T], tx_delays [A,E]).
+    """
+    from tpu_rt.ops.pallas_us import bake_us_scene, simulate_acquisition_pallas
+
+    bs = bake_us_scene(scene)
+    if bs is None:
+        raise ValueError("scene not supported by the ultrasound megakernel")
+    mesh = mesh or default_mesh()
+    n_dev = mesh.devices.size
+    rpp_local = -(-rays_per_pair // n_dev)
+    axis = mesh.axis_names[0]
+
+    seeds = seed + jnp.arange(n_dev, dtype=jnp.int32) * 7919
+
+    def shard_fn(seed_shard):
+        ch, tx = simulate_acquisition_pallas(
+            scene, seed=seed_shard[0], rays_per_pair=rpp_local,
+            baked=bs, interpret=interpret,
+        )
+        ch = jax.lax.psum(ch, axis) / n_dev
+        return ch, tx
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(seeds)
