@@ -216,6 +216,103 @@ def test_stokes_kernel_diffuse_I_parity():
     np.testing.assert_allclose(S[..., 3, :], 0.0, atol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def cbox_pol12(ref_scenes):
+    import os
+
+    scene = tpu_rt.load_file(os.path.join(ref_scenes, "cbox_pol.xml"),
+                             spp=4, res=12)
+    return scene.replace(max_depth=3)
+
+
+@pytest.mark.parametrize("filt", ["box", "tent"])
+def test_stokes_film_kernel_equals_per_sample_splat(cbox_pol12, filt):
+    """The polarized in-kernel box/tent splat must reproduce the
+    per-sample Stokes kernel + XLA splat_aligned EXACTLY: with
+    spp_per_pass=1 both consume the same per-chunk RNG stream
+    (seed*100003 + i), so the only difference is where the 13-plane
+    filter accumulation happens."""
+    import jax.numpy as jnp
+
+    from tpu_rt.scene.types import FILTER_BOX, FILTER_TENT
+    from tpu_rt.sensor import film as film_mod
+
+    ft = FILTER_TENT if filt == "tent" else FILTER_BOX
+    scene = cbox_pol12.replace(camera=cbox_pol12.camera.replace(
+        filter_type=ft))
+    seed, spp = 5, 3
+    c = scene.camera
+    H, W = c.height, c.width
+    bs = pp.bake_scene(scene)
+
+    S_film = np.asarray(
+        pp.render_stokes_pallas(scene, spp=spp, seed=seed, interpret=True,
+                                spp_per_pass=1)
+    )
+    assert S_film.shape == (H, W, 4, 3)
+
+    fv = jnp.zeros((H, W, 12), jnp.float32)
+    fw = jnp.zeros((H, W), jnp.float32)
+    for i in range(spp):
+        S, jit, _ = pp.pallas_stokes_trace(bs, c, seed * 100003 + i,
+                                           interpret=True)
+        S = S.reshape(-1, 12)
+        ok = jnp.all(jnp.isfinite(S), axis=-1)
+        fv, fw = film_mod.splat_aligned(
+            fv, fw, jit.reshape(H, W, 2),
+            jnp.where(ok[:, None], S, 0.0).reshape(H, W, 12),
+            ok.reshape(H, W), c.filter_type,
+        )
+    S_ref = np.asarray(film_mod.develop(fv, fw)).reshape(H, W, 4, 3)
+    np.testing.assert_allclose(S_film, S_ref, rtol=2e-5, atol=2e-6)
+    # polarized content actually present (metal spheres produce Q/U)
+    assert np.abs(S_ref[..., 1, :]).max() > 1e-4
+
+
+def test_stokes_film_render_scan_and_tail(cbox_pol12):
+    """Whole-render fused dispatch for the polarized film path (scan over
+    full chunks + tail + develop in one jit) equals manual per-chunk
+    accumulation with the same seeds; spp=5, spp_per_pass=2 exercises
+    n_full=2 AND rem=1."""
+    import jax.numpy as jnp
+
+    from tpu_rt.scene.types import FILTER_BOX
+    from tpu_rt.sensor import film as film_mod
+
+    scene = cbox_pol12.replace(camera=cbox_pol12.camera.replace(
+        filter_type=FILTER_BOX))
+    seed, spp, k = 7, 5, 2
+    c = scene.camera
+    H, W = c.height, c.width
+    n = H * W
+    bs = pp.bake_scene(scene)
+
+    S = np.asarray(
+        pp.render_stokes_pallas(scene, spp=spp, seed=seed, interpret=True,
+                                spp_per_pass=k)
+    )
+
+    film = [jnp.zeros((H, W), jnp.float32)] * 13
+    done = 0
+    while done < spp:
+        kc = min(k, spp - done)
+        accs, _nr = pp.pallas_film_trace(bs, c, seed * 100003 + done, kc,
+                                         interpret=True, stokes=True)
+        assert len(accs) == 13  # box: 12 Stokes + weight
+
+        def img2(p):
+            return p.reshape(-1)[:n].reshape(H, W)
+
+        film = [f + img2(accs[j]) for j, f in enumerate(film)]
+        done += kc
+
+    fw = film[-1]
+    S_ref = np.asarray(
+        jnp.stack(film[:-1], -1) / jnp.maximum(fw[..., None], 1e-12)
+    ).reshape(H, W, 4, 3)
+    np.testing.assert_allclose(S, S_ref, rtol=2e-5, atol=2e-6)
+
+
 def test_render_stokes_sharded_matches_single_chip(ref_scenes):
     """Sample-sharded Stokes megakernel render over the virtual 8-device
     mesh equals the single-chip render on the same seed range (seed0 +

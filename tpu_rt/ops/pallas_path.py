@@ -1157,8 +1157,11 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
     if film is not None:
         assert raygen is not None and not bs.env_textured
     if stokes is not None:
-        # polarized per-sample mode: 12 Stokes planes + nrays + jitter
-        assert raygen is not None and film is None and not bs.env_textured
+        # polarized mode: per-sample (12 Stokes planes + nrays + jitter),
+        # or with film=dict the box/tent splat accumulates IN-KERNEL over
+        # n_samples like the scalar film mode (13 planes per offset:
+        # 12 Stokes + filter weight).
+        assert raygen is not None and not bs.env_textured
 
     def kernel(seed_ref, *refs):
         if raygen is None:
@@ -1168,7 +1171,7 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
         shape = outs[0].shape
         pid = pl.program_id(0)
         rng = _rng_init(seed_ref[0], pid.astype(jnp.uint32), shape)
-        if stokes is not None:
+        if stokes is not None and film is None:
             Lv, ray_count, rng, aux = _trace_sample(bs, raygen, rng, pid=pid,
                                                     stokes=stokes)
             S = aux["S"]
@@ -1213,23 +1216,28 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
         # vreg; f32 carries per the bool-carry workaround note).
         tent = film["filter"] == "tent"
         zeros = jnp.zeros(shape, jnp.float32)
-        n_acc = 36 if tent else 4
+        nv = 12 if stokes is not None else 3  # channels per sample
+        n_acc = 9 * (nv + 1) if tent else nv + 1
 
         def body(_, carry):
             rng = carry[0]
             acc = carry[1:]
-            Lv, rc, rng, aux = _trace_sample(bs, raygen, rng, pid=pid)
+            Lv, rc, rng, aux = _trace_sample(bs, raygen, rng, pid=pid,
+                                             stokes=stokes)
+            if stokes is not None:
+                S = aux["S"]
+                vals = [S[i][ch] for i in range(4) for ch in range(3)]
+            else:
+                vals = list(Lv)
             # exclude non-finite samples from value AND weight (the XLA
             # splat path does the same via its `ok` mask); NaN/inf must be
             # zeroed with where, not multiplied (inf * 0 = nan).
-            ok = (
-                (jnp.abs(Lv[0]) < jnp.inf) & (jnp.abs(Lv[1]) < jnp.inf)
-                & (jnp.abs(Lv[2]) < jnp.inf)
-            )
+            ok = None
+            for v in vals:
+                f = jnp.abs(v) < jnp.inf  # False for NaN too
+                ok = f if ok is None else (ok & f)
             okf = jnp.where(ok, 1.0, 0.0)
-            Lr = jnp.where(ok, Lv[0], 0.0)
-            Lg = jnp.where(ok, Lv[1], 0.0)
-            Lb = jnp.where(ok, Lv[2], 0.0)
+            vals = [jnp.where(ok, v, 0.0) for v in vals]
             upd = []
             if tent:
                 jx, jy = aux["jx"], aux["jy"]
@@ -1249,9 +1257,9 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
                 for a in range(3):
                     for b in range(3):
                         w = wy[a] * wx[b] * okf
-                        upd += [w * Lr, w * Lg, w * Lb, w]
+                        upd += [w * v for v in vals] + [w]
             else:  # box: the jittered sample stays in its own pixel, w=1
-                upd = [Lr, Lg, Lb, okf]
+                upd = vals + [okf]
             upd.append(rc)
             return (rng,) + tuple(a + u for a, u in zip(acc, upd))
 
@@ -1368,7 +1376,7 @@ def pallas_raygen_trace(bs: BakedScene, camera, seed, tile_rows=8,
 
 
 def pallas_film_trace(bs: BakedScene, camera, seed, n_samples, tile_rows=8,
-                      interpret=False):
+                      interpret=False, stokes=False):
     """Trace n_samples paths per pixel with IN-KERNEL raygen AND in-kernel
     reconstruction-filter accumulation (box/tent).
 
@@ -1380,6 +1388,9 @@ def pallas_film_trace(bs: BakedScene, camera, seed, n_samples, tile_rows=8,
     (dy, dx) in row-major {-1,0,1}^2, each (r, g, b, w) destined for
     pixel (py+dy, px+dx).  All planes are (rows, 128) in row-major pixel
     order with pad lanes at the tail.
+
+    stokes=True runs full Mueller transport instead: 13 planes per offset
+    (12 Stokes channels + filter weight), 13 or 117 accumulators total.
     """
     from tpu_rt.scene.types import FILTER_TENT
 
@@ -1401,10 +1412,14 @@ def pallas_film_trace(bs: BakedScene, camera, seed, n_samples, tile_rows=8,
         W=W, H=H, n_pix=n,
     )
     filt = "tent" if camera.filter_type == FILTER_TENT else "box"
+    stokes_cfg = dict(cam_x=tuple(float(x) for x in m[:3, 0])) if stokes \
+        else None
     kernel = _build_kernel(
-        bs, raygen=raygen, film=dict(n_samples=int(n_samples), filter=filt)
+        bs, raygen=raygen, film=dict(n_samples=int(n_samples), filter=filt),
+        stokes=stokes_cfg,
     )
-    n_acc = 36 if filt == "tent" else 4
+    nv = 12 if stokes else 3
+    n_acc = 9 * (nv + 1) if filt == "tent" else nv + 1
     block = pl.BlockSpec(
         (tile_rows, lanes), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
     )
@@ -1490,12 +1505,13 @@ def pallas_stokes_trace(bs: BakedScene, camera, seed, tile_rows=8,
 
 def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
                          interpret=None, baked=None, spp_per_pass=32):
-    """Full polarized render through the Stokes megakernel; the
-    reconstruction-filter splat stays in XLA (cbox_pol uses a gaussian
-    filter).  Returns (H, W, 4, 3); sets render_stokes_pallas.
-    last_ray_count (a lazy device scalar — int() it to read).  Raises
-    ValueError out of scope.  ``spp_per_pass`` is retained for API compat
-    but unused: the whole render is one fused dispatch."""
+    """Full polarized render through the Stokes megakernel.  Box/tent
+    filters accumulate IN-KERNEL (13 planes per filter offset, chunked by
+    ``spp_per_pass``); gaussian scenes (cbox_pol) run the per-sample
+    kernel with the XLA splat, where ``spp_per_pass`` is unused — either
+    way the whole render is one fused dispatch.  Returns (H, W, 4, 3);
+    sets render_stokes_pallas.last_ray_count (a lazy device scalar —
+    int() it to read).  Raises ValueError out of scope."""
     import jax as _jax
 
     from tpu_rt.sensor import film as _film
@@ -1517,6 +1533,23 @@ def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         float(c.tan_fov_x), float(c.tan_fov_y), H, W,
         c.filter_type, c.filter_radius,
     )
+
+    from tpu_rt.scene.types import FILTER_BOX, FILTER_TENT
+
+    if c.filter_type in (FILTER_BOX, FILTER_TENT):
+        # Box/tent polarized scenes accumulate the splat IN-KERNEL like
+        # the scalar film path (13 planes per offset), amortizing the
+        # per-sample (rows,128)->(N,12) boundary shuffle over
+        # spp_per_pass samples.  (cbox_pol itself is gaussian and stays
+        # on the per-sample + XLA-splat path below.)
+        n_full, rem = divmod(spp, spp_per_pass)
+        whole = _get_stokes_film_render_multi_fn(
+            bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass,
+            n_full, rem)
+        S, n_rays = whole(jnp.int32(seed * 100003))
+        render_stokes_pallas.last_ray_count = n_rays
+        return S.reshape(H, W, 4, 3)
+
     # ONE dispatch for the whole render: scan over all spp seeds + develop
     # inside a single jit (the per-chunk form cost ceil(spp/32) host
     # dispatches at ~35 ms tunnel RTT each — 0.56 s of the 0.69 s cbox_pol
@@ -1720,6 +1753,80 @@ def _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows, interpret,
         img = (jnp.stack([fvr, fvg, fvb], -1)
                / jnp.maximum(fw[..., None], 1e-12))
         return img, nr
+
+    _RENDER_FN_CACHE[key] = whole
+    return whole
+
+
+def _get_stokes_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows,
+                                     interpret, k, n_full, rem):
+    """Memoized jitted WHOLE-render for the polarized in-kernel-film path:
+    the Stokes analogue of _get_film_render_multi_fn (13 planes per filter
+    offset — 12 Stokes channels + weight — instead of 4)."""
+    import jax as _jax
+
+    from tpu_rt.scene.types import FILTER_TENT
+    from tpu_rt.sensor import film as _film
+
+    key = ("stokes_filmN", _bake_key(bs), cam_key, tile_rows, interpret,
+           k, n_full, rem)
+    fn = _RENDER_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    n = H * W
+    tent = c.filter_type == FILTER_TENT
+    NP = 13  # planes per offset: 12 Stokes + filter weight
+
+    def img2(p):
+        return p.reshape(-1)[:n].reshape(H, W)
+
+    def deposit(film, accs):
+        if tent:
+            i = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    film = tuple(
+                        _film._shift_add(f, img2(accs[i + j]), dy, dx)
+                        for j, f in enumerate(film)
+                    )
+                    i += NP
+        else:
+            film = tuple(f + img2(accs[j]) for j, f in enumerate(film))
+        return film
+
+    @_jax.jit
+    def whole(seed0):
+        zero = jnp.zeros((H, W), jnp.float32)
+        film0 = (zero,) * NP
+        nr0 = jnp.zeros((), jnp.int64 if _jax.config.jax_enable_x64
+                        else jnp.int32)
+
+        if n_full > 0:
+            def body(carry, seed_i):
+                film, nr = carry
+                accs, n_rays = pallas_film_trace(
+                    bs, c, seed_i, k, tile_rows=tile_rows,
+                    interpret=interpret, stokes=True)
+                return (deposit(film, accs),
+                        nr + jnp.sum(n_rays).astype(nr.dtype)), None
+
+            seeds = seed0 + jnp.arange(n_full, dtype=jnp.int32) * k
+            (film, nr), _ = _jax.lax.scan(body, (film0, nr0), seeds)
+        else:
+            film, nr = film0, nr0
+
+        if rem > 0:
+            accs, n_rays = pallas_film_trace(
+                bs, c, seed0 + jnp.int32(n_full * k), rem,
+                tile_rows=tile_rows, interpret=interpret, stokes=True)
+            film = deposit(film, accs)
+            nr = nr + jnp.sum(n_rays).astype(nr.dtype)
+
+        fw = film[-1]
+        S = (jnp.stack(film[:-1], -1)
+             / jnp.maximum(fw[..., None], 1e-12))
+        return S, nr
 
     _RENDER_FN_CACHE[key] = whole
     return whole
