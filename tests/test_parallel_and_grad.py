@@ -364,3 +364,31 @@ def test_sharded_pallas_acquisition_matches_single_chip():
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(tx_sh), np.asarray(tx_i),
                                atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["matmul", "gather"])
+def test_sharded_das_matches_single_chip(method):
+    """das_beamform_sharded (lateral pixel tiles over the 8-device mesh,
+    replicated RF) must equal the single-chip beamformer: per-pixel DAS
+    sums run in the same order, so agreement is to f32 exactness.  Nx=13
+    exercises the pad-to-n_dev path."""
+    from tpu_rt.parallel.ultrasound import das_beamform_sharded
+    from tpu_rt.us.beamform import das_beamform, das_beamform_matmul
+
+    rng = np.random.default_rng(3)
+    A, E, T = 3, 5, 128
+    fs, c = 50e6, 1540.0
+    ch = jnp.asarray(rng.standard_normal((A, E, T)), jnp.float32)
+    angles = jnp.asarray([-10.0, 0.0, 10.0], jnp.float32)
+    elem_x = jnp.linspace(-2e-3, 2e-3, E, dtype=jnp.float32)
+    x_grid = jnp.linspace(-3e-3, 3e-3, 13, dtype=jnp.float32)
+    z_grid = jnp.linspace(0.2e-3, 3e-3, 9, dtype=jnp.float32)
+
+    das_ref = das_beamform_matmul if method == "matmul" else das_beamform
+    ref = np.asarray(das_ref(ch, angles, elem_x, fs, c, x_grid, z_grid))
+    out = np.asarray(das_beamform_sharded(
+        ch, angles, elem_x, fs, c, x_grid, z_grid, method=method,
+        mesh=default_mesh(),
+    ))
+    assert out.shape == ref.shape == (13, 9)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)

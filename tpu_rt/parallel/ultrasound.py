@@ -102,3 +102,70 @@ def simulate_acquisition_pallas_sharded(scene: Scene, seed=0,
         check_vma=False,
     )
     return jax.jit(fn)(seeds)
+
+
+def das_beamform_sharded(channel_data, angles_deg, elem_x, fs, c, x_grid,
+                         z_grid, t_offset=0.0, elem_z=None, mesh: Mesh = None,
+                         method="matmul"):
+    """Multi-chip delay-and-sum: the image's LATERAL axis is sharded over
+    the device mesh, the RF buffer is replicated.
+
+    DAS is embarrassingly parallel over pixels (every pixel reads the whole
+    [A, E, T] buffer — /root/reference/USMain.py:204-207 beamforms the full
+    GridScan on one host), so each device beamforms its contiguous x-tile
+    with the stock kernel (us/beamform.py, 'matmul' MXU form or 'gather')
+    and the tiles concatenate along x with NO collective: per-pixel sums
+    run in the same order as the single-chip kernel, so results match it
+    exactly.  Returns the beamformed image [Nx, Nz].
+    """
+    from tpu_rt.us.beamform import das_beamform, das_beamform_matmul
+
+    mesh = mesh or default_mesh()
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    x_grid = jnp.asarray(x_grid)
+    z_grid = jnp.asarray(z_grid)
+    elem_x = jnp.asarray(elem_x)
+    if elem_z is None:
+        elem_z = jnp.zeros_like(elem_x)
+    channel_data = jnp.asarray(channel_data)
+    angles_deg = jnp.asarray(angles_deg, jnp.float32)
+
+    Nx = x_grid.shape[0]
+    pad = (-Nx) % n_dev
+    # edge-value pads keep the per-shard matmul RF windows in range; the
+    # padded columns are stripped below
+    xg = jnp.concatenate([x_grid, jnp.full((pad,), x_grid[-1])]) if pad \
+        else x_grid
+
+    if method == "matmul":
+        # Size the interpolation window on the HOST from the full grid
+        # pitch (das_beamform_matmul's own sizing needs concrete grids,
+        # which a shard_map trace does not have) — same formula, so the
+        # sharded kernel runs the identical program per tile.
+        import numpy as _np
+
+        TX, TZ = 8, 64
+        dx = float(x_grid[1] - x_grid[0]) if Nx > 1 else 0.0
+        dz = float(z_grid[1] - z_grid[0]) if z_grid.shape[0] > 1 else 0.0
+        spread = (2.0 * TZ * abs(dz) + 2.0 * TX * abs(dx)) / c * fs
+        window = max(256, ((int(_np.ceil(spread)) + 8 + 127) // 128) * 128)
+
+        def one(xg_shard):
+            return das_beamform_matmul(
+                channel_data, angles_deg, elem_x, fs, c, xg_shard, z_grid,
+                t_offset=t_offset, window=window, elem_z=elem_z,
+            )
+    else:
+        def one(xg_shard):
+            return das_beamform(
+                channel_data, angles_deg, elem_x, fs, c, xg_shard, z_grid,
+                t_offset=t_offset, elem_z=elem_z,
+            )
+
+    fn = shard_map(
+        one, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis, None),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(xg)
+    return out[:Nx]

@@ -177,6 +177,13 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
         window = max(window, ((needed + 127) // 128) * 128)
     except TypeError:
         pass  # traced grids: trust the caller-provided window
+    if window > T:
+        # Short RF buffers (window sized from the grid's delay spread can
+        # exceed T): zero-pad the time axis so the per-block dynamic_slice
+        # stays in range — the in_rng mask already zeroes taps past T-1.
+        channel_data = jnp.concatenate(
+            [channel_data,
+             jnp.zeros((A, E, window - T), channel_data.dtype)], axis=2)
     pad_x = (-Nx) % TX
     pad_z = (-Nz) % TZ
     xg = jnp.concatenate([x_grid, jnp.zeros((pad_x,), jnp.float32)])
