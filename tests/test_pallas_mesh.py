@@ -46,7 +46,7 @@ def test_clusters_built_for_mesh_scene(teapot_scene):
     g = teapot_scene.geometry
     assert g.cl_tris is not None
     assert g.cl_tris.shape[1:] == (9, 128)
-    assert g.cl_bounds.shape == (g.cl_tris.shape[0], 8)
+    assert g.cl_bounds.shape == (g.cl_tris.shape[0], 32)
     # every real triangle appears exactly once in the local->global map
     prim = np.asarray(g.cl_prim)
     counts = np.bincount(prim, minlength=g.n_tris)

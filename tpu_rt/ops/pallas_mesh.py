@@ -164,10 +164,13 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
         taken from it.
     Returns dict:
       tris:   (Cp, 9, 128) f32 — components (p0x..p0z, e1x..e1z, e2x..e2z)
-      bounds: (Cp, 8) f32 — cluster AABB (minx,miny,minz,maxx,maxy,maxz,
-              n_real_tris, 0); slot 6 carries the unpadded triangle count so
-              kernels sweep only the live lanes (treelet clusters average
-              ~87/128 full — bunny pads were 32% of sweep work)
+      bounds: (Cp, 32) f32 — cols 0-5 cluster AABB (minx..maxz), col 6 the
+              unpadded triangle count (kernels sweep only live lanes —
+              treelet clusters average ~87/128 full; bunny pads were 32% of
+              sweep work), col 7 zero; cols 8-31 four QUARTER AABBs (tris
+              [i*k/4, (i+1)*k/4) in cluster order, 6 cols each) — the
+              intersect kernel slab-tests quarters and sweeps only the
+              contiguous live span (empty quarters get far-point boxes)
       prim:   (Cp * 128,) i32 — local id -> global triangle id (0 for pads;
               pads are degenerate tris that can never hit)
       where Cp is the cluster count padded up to a multiple of CHUNK_C.
@@ -202,6 +205,9 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
     bmin = np.full((Cp, 3), 1e30, np.float32)  # pads: far point box — an
     bmax = np.full((Cp, 3), 1e30, np.float32)  # inverted box would pass the
     # min/max slab test (it re-normalizes into an all-space box).
+    # Quarter sub-boxes (far-point boxes for empty quarters/pad clusters).
+    qmin = np.full((Cp, 4, 3), 1e30, np.float32)
+    qmax = np.full((Cp, 4, 3), 1e30, np.float32)
     for c, ids in enumerate(groups):
         k = ids.shape[0]
         if k == 0:
@@ -220,12 +226,22 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
         allv = np.concatenate([cp0, cp0 + ce1, cp0 + ce2], 0)
         bmin[c] = allv.min(axis=0)
         bmax[c] = allv.max(axis=0)
+        for qi in range(4):
+            s, e = (qi * k) // 4, ((qi + 1) * k) // 4
+            if e <= s:
+                continue
+            qv = np.concatenate(
+                [cp0[s:e], cp0[s:e] + ce1[s:e], cp0[s:e] + ce2[s:e]], 0
+            )
+            qmin[c, qi] = qv.min(axis=0)
+            qmax[c, qi] = qv.max(axis=0)
 
     counts = np.zeros((Cp, 1), np.float32)
     for c, ids in enumerate(groups):
         counts[c, 0] = ids.shape[0]
+    qboxes = np.concatenate([qmin, qmax], axis=2).reshape(Cp, 24)
     bounds = np.concatenate(
-        [bmin, bmax, counts, np.zeros((Cp, 1), np.float32)], axis=1
+        [bmin, bmax, counts, np.zeros((Cp, 1), np.float32), qboxes], axis=1
     ).astype(np.float32)
 
     return {
@@ -260,29 +276,38 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
 
     def cluster_body(ci, best):
         c = ci
-        bx0 = bounds_ref[c, 0]
-        by0 = bounds_ref[c, 1]
-        bz0 = bounds_ref[c, 2]
-        bx1 = bounds_ref[c, 3]
-        by1 = bounds_ref[c, 4]
-        bz1 = bounds_ref[c, 5]
-
         best_t = best[0]
-        t0x = (bx0 - o[0]) * invd[0]
-        t1x = (bx1 - o[0]) * invd[0]
-        t0y = (by0 - o[1]) * invd[1]
-        t1y = (by1 - o[1]) * invd[1]
-        t0z = (bz0 - o[2]) * invd[2]
-        t1z = (bz1 - o[2]) * invd[2]
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), best_t),
-        )
-        live = jnp.sum(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
+
+        def slab_live(col):
+            """Tile-level slab test of the AABB at bounds cols
+            [col, col+6) against all rays, bounded by each lane's
+            current best_t; returns a scalar 'any lane can hit'."""
+            t0x = (bounds_ref[c, col + 0] - o[0]) * invd[0]
+            t1x = (bounds_ref[c, col + 3] - o[0]) * invd[0]
+            t0y = (bounds_ref[c, col + 1] - o[1]) * invd[1]
+            t1y = (bounds_ref[c, col + 4] - o[1]) * invd[1]
+            t0z = (bounds_ref[c, col + 2] - o[2]) * invd[2]
+            t1z = (bounds_ref[c, col + 5] - o[2]) * invd[2]
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+            )
+            return jnp.sum(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
+
+        # Quarter-resolution cull: slab-test the four quarter sub-boxes
+        # (cols 8..31) and sweep only the contiguous live span — a ray
+        # tile clipping a treelet's corner sweeps ~k/4 tris instead of k
+        # (bunny live tiles are sweep-bound; per-lane masking can't skip
+        # VPU work, but the span bounds can).
+        l0 = slab_live(8)
+        l1 = slab_live(14)
+        l2 = slab_live(20)
+        l3 = slab_live(26)
+        live = l0 | l1 | l2 | l3
 
         def process(best):
             def intersect_one(k, bt):
@@ -344,10 +369,22 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                     jnp.where(ok, v, bv),
                 )
 
-            # Sweep only the live lanes: treelet clusters average ~87/128
-            # real tris (pads at the tail can never hit — degenerate, t=0).
-            n_it = (bounds_ref[c, 6].astype(jnp.int32) + 1) // 2
-            return jax.lax.fori_loop(0, n_it, tri_body, best)
+            # Sweep only the contiguous live-quarter span of the live
+            # lanes (quarter boundaries q_i = i*k//4 derive from the
+            # count; pads at the tail can never hit — degenerate, t=0).
+            k = bounds_ref[c, 6].astype(jnp.int32)
+            q1 = k // 4
+            q2 = k // 2
+            q3 = (3 * k) // 4
+            s_tri = jnp.where(l0, 0, jnp.where(l1, q1,
+                              jnp.where(l2, q2, q3)))
+            e_tri = jnp.where(l3, k, jnp.where(l2, q3,
+                              jnp.where(l1, q2, q1)))
+            # 2-wide iterations: kk covers tris {2kk, 2kk+1}; start floors
+            # so a boundary-straddling pair is still tested (extra tests
+            # are correct, never skipped ones).
+            return jax.lax.fori_loop(s_tri // 2, (e_tri + 1) // 2,
+                                     tri_body, best)
 
         return jax.lax.cond(live, process, lambda b: b, best)
 
@@ -1048,7 +1085,7 @@ def mesh_direct_render_sharded(scene, spp=None, seed=0, mesh=None,
 
     Requires spp % n_devices == 0.  Returns (H, W, 3) replicated.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from tpu_rt.ops.pallas_path import _make_keys_seeds
@@ -1077,7 +1114,7 @@ def mesh_direct_render_sharded(scene, spp=None, seed=0, mesh=None,
 
     fv, fw, nacc = jax.jit(shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis),), out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     ))(keys)
     mesh_direct_render_sharded.last_ray_count = nacc
     return _film.develop(fv, fw)

@@ -110,7 +110,7 @@ class Geometry:
     # Clustered triangle tables for the Pallas mesh kernel
     # (tpu_rt.ops.pallas_mesh) — built for mesh-class scenes only.
     cl_tris: Optional[jnp.ndarray] = None  # [C, 9, 128]
-    cl_bounds: Optional[jnp.ndarray] = None  # [C, 8]
+    cl_bounds: Optional[jnp.ndarray] = None  # [C, 32] (pallas_mesh.build_clusters)
     cl_prim: Optional[jnp.ndarray] = None  # [C * 128]
 
     # Per-prim scalar parameters ([A, 2]; CURVE: [r0, r1] in object units,
