@@ -704,13 +704,13 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-12,
                                    jnp.where(x < 0, -1e-12, 1e-12), x)
 
-        def cull(o, d, invd, best_t, c):
-            t0x = (bounds_ref[c, 0] - o[0]) * invd[0]
-            t1x = (bounds_ref[c, 3] - o[0]) * invd[0]
-            t0y = (bounds_ref[c, 1] - o[1]) * invd[1]
-            t1y = (bounds_ref[c, 4] - o[1]) * invd[1]
-            t0z = (bounds_ref[c, 2] - o[2]) * invd[2]
-            t1z = (bounds_ref[c, 5] - o[2]) * invd[2]
+        def cull(o, d, invd, best_t, c, col=0):
+            t0x = (bounds_ref[c, col + 0] - o[0]) * invd[0]
+            t1x = (bounds_ref[c, col + 3] - o[0]) * invd[0]
+            t0y = (bounds_ref[c, col + 1] - o[1]) * invd[1]
+            t1y = (bounds_ref[c, col + 4] - o[1]) * invd[1]
+            t0z = (bounds_ref[c, col + 2] - o[2]) * invd[2]
+            t1z = (bounds_ref[c, col + 5] - o[2]) * invd[2]
             tn = jnp.maximum(
                 jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                 jnp.maximum(jnp.minimum(t0z, t1z), tmin),
@@ -720,6 +720,25 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
                 jnp.minimum(jnp.maximum(t0z, t1z), best_t),
             )
             return tn <= tf
+
+        def quarter_span(o, d, invd, best_t, c):
+            """Slab-test the four quarter sub-boxes (bounds cols 8..31,
+            build_clusters) and return (any_live, tri_start, tri_end): the
+            contiguous live span of the cluster's triangle list (quarter
+            boundaries i*k//4 derive from the count col 6)."""
+            def ql(qi):
+                return jnp.sum(jnp.where(
+                    cull(o, d, invd, best_t, c, col=8 + 6 * qi),
+                    1.0, 0.0)) > 0.0
+
+            l0, l1, l2, l3 = ql(0), ql(1), ql(2), ql(3)
+            k = bounds_ref[c, 6].astype(jnp.int32)
+            q1, q2, q3 = k // 4, k // 2, (3 * k) // 4
+            s_tri = jnp.where(l0, 0, jnp.where(l1, q1,
+                              jnp.where(l2, q2, q3)))
+            e_tri = jnp.where(l3, k, jnp.where(l2, q3,
+                              jnp.where(l1, q2, q1)))
+            return l0 | l1 | l2 | l3, s_tri, e_tri
 
         def mt_one(o, d, ci, k, bt):
             p0x = tri_ref[ci, 0, k]
@@ -756,7 +775,7 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
         big = jnp.full(shape, 0.99 * _BIG)
 
         def closest_body(c, best):
-            live = jnp.sum(jnp.where(cull(o, d, invd, best[0], c), 1.0, 0.0)) > 0.0
+            live, s_tri, e_tri = quarter_span(o, d, invd, best[0], c)
 
             def process(best):
                 def tri_body(k, best):
@@ -788,8 +807,7 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
                         jnp.where(ok, shade_ref[c, 11, k], best[9]),
                     )
 
-                n_it = bounds_ref[c, 6].astype(jnp.int32)
-                return jax.lax.fori_loop(0, n_it, tri_body, best)
+                return jax.lax.fori_loop(s_tri, e_tri, tri_body, best)
 
             return jax.lax.cond(live, process, lambda b: b, best)
 
@@ -846,16 +864,14 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
             def shadow_body(c, occ_f, so=so, wl=wl, invwl=invwl,
                             tmax_s=tmax_s, valid=valid):
                 need = valid & (occ_f < 0.5)
-                live = jnp.sum(jnp.where(
-                    cull(so, wl, invwl, jnp.where(need, tmax_s, tmin), c),
-                    1.0, 0.0)) > 0.0
+                live, s_tri, e_tri = quarter_span(
+                    so, wl, invwl, jnp.where(need, tmax_s, tmin), c)
 
                 def process(occ_f):
                     def tri_body(k, occ_f):
                         ok, _t, _u, _v, _e = mt_one(so, wl, c, k, tmax_s)
                         return jnp.maximum(occ_f, jnp.where(ok, 1.0, 0.0))
-                    n_it = bounds_ref[c, 6].astype(jnp.int32)
-                    return jax.lax.fori_loop(0, n_it, tri_body, occ_f)
+                    return jax.lax.fori_loop(s_tri, e_tri, tri_body, occ_f)
 
                 return jax.lax.cond(live, process, lambda x: x, occ_f)
 
