@@ -212,3 +212,54 @@ def test_fused_direct_kernel_authored_normals():
     bx, dx_ = imx[12:20, 4:12].mean(), imx[12:20, 20:28].mean()
     assert abs(bright - bx) / bx < 0.1
     assert abs(dim - dx_) / max(dx_, 1e-9) < 0.2
+
+
+def test_mesh_kernel_random_soup_matches_numpy():
+    """Incoherent random triangle soup + random rays vs an independent
+    NumPy Moller-Trumbore reference: stresses the quarter-span sweep
+    (random treelets make partially-live spans the common case, unlike
+    coherent teapot primaries)."""
+    rng = np.random.default_rng(11)
+    T = 300
+    p0 = rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.25, (T, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.25, (T, 3)).astype(np.float32)
+
+    from tpu_rt.geometry.bvh import build_bvh
+
+    v = np.stack([p0, p0 + e1, p0 + e2], 1)
+    bvh = build_bvh(v.min(1), v.max(1))
+    clusters = pallas_mesh.build_clusters(p0, e1, e2, bvh=bvh)
+
+    N = 1024
+    o = rng.uniform(-2, 2, (N, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    t, prim, u, vv = (np.asarray(x) for x in pallas_mesh.mesh_intersect(
+        clusters, jnp.asarray(o), jnp.asarray(d), tmin=1e-4))
+
+    # NumPy reference (closest hit over all tris, same conventions)
+    pv = np.cross(d[:, None, :], e2[None, :, :])          # [N, T, 3]
+    det = np.einsum("tk,ntk->nt", e1, pv)
+    det = np.where(np.abs(det) < 1e-12,
+                   np.where(det < 0, -1e-12, 1e-12), det)
+    tv = o[:, None, :] - p0[None, :, :]
+    uu = np.einsum("ntk,ntk->nt", tv, pv) / det
+    qv = np.cross(tv, e1[None, :, :])
+    vv_ref = np.einsum("nk,ntk->nt", d, qv) / det
+    tt = np.einsum("tk,ntk->nt", e2, qv) / det
+    ok = (uu >= 0) & (vv_ref >= 0) & (uu + vv_ref <= 1) & (tt > 1e-4)
+    tt = np.where(ok, tt, np.inf)
+    ref_prim = tt.argmin(1)
+    ref_t = tt[np.arange(N), ref_prim]
+    ref_hit = np.isfinite(ref_t)
+    assert ref_hit.sum() > 150
+
+    got_hit = prim >= 0
+    np.testing.assert_array_equal(got_hit, ref_hit)
+    np.testing.assert_allclose(t[ref_hit], ref_t[ref_hit], rtol=2e-5)
+    # same winning triangle wherever the closest hit is unambiguous
+    t2 = np.partition(tt, 1, axis=1)[:, 1]
+    clear = ref_hit & ((t2 - ref_t) > 1e-3)
+    np.testing.assert_array_equal(prim[clear], ref_prim[clear])
