@@ -376,3 +376,25 @@ def test_stokes_scope_gates():
     bs = pp.bake_scene(scene)
     assert bs is not None
     assert not pp.stokes_in_scope(bs)
+
+
+def test_render_stokes_sharded_film_path_matches_single_chip(cbox_pol12):
+    """Box-filter polarized scenes shard the in-kernel film path: device i
+    consumes the single-chip chunk-seed sequence's i-th chunk, so the
+    8-device render must equal render_stokes_pallas(spp=8, spp_per_pass=1)
+    up to psum add order."""
+    from tpu_rt.parallel.render import (default_mesh,
+                                        render_stokes_pallas_sharded)
+    from tpu_rt.scene.types import FILTER_BOX
+
+    scene = cbox_pol12.replace(camera=cbox_pol12.camera.replace(
+        filter_type=FILTER_BOX))
+    spp, seed = 8, 3
+    single = np.asarray(pp.render_stokes_pallas(
+        scene, spp=spp, seed=seed, interpret=True, spp_per_pass=1))
+    sharded = np.asarray(render_stokes_pallas_sharded(
+        scene, spp=spp, seed=seed, mesh=default_mesh(), interpret=True))
+    assert sharded.shape == (12, 12, 4, 3)
+    # psum tree order vs sequential chunk adds: a few near-cancelling
+    # Q/U elements differ at the 1e-5 level (measured max abs 7.5e-6)
+    np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-5)

@@ -190,6 +190,61 @@ def render_stokes_pallas_sharded(scene: Scene, spp=None, seed=0, mesh=None,
     H, W = c.height, c.width
     axis = mesh.axis_names[0]
 
+    from tpu_rt.scene.types import FILTER_BOX, FILTER_TENT
+
+    if c.filter_type in (FILTER_BOX, FILTER_TENT):
+        # Box/tent polarized scenes shard the IN-KERNEL film path (13
+        # Stokes+weight planes per filter offset) exactly like the scalar
+        # render_pallas_sharded — one film-mode kernel launch per device
+        # over its spp slice, accumulator planes psum-reduced.
+        import numpy as np
+
+        n = H * W
+        tent = c.filter_type == FILTER_TENT
+        NP = 13
+        # Device i consumes the single-chip chunk-seed sequence's i-th
+        # chunk (seed0 + i*k, k samples), so the sharded render equals
+        # render_stokes_pallas(spp, spp_per_pass=k) up to psum add order.
+        seeds_f = (np.int32(seed) * np.int32(100003)
+                   + np.arange(n_dev, dtype=np.int32)
+                   * np.int32(k)).reshape(-1, 1)
+
+        def shard_fn_film(seeds_shard):
+            accs, nr = pp.pallas_film_trace(
+                bs, c, seeds_shard[0, 0], k, tile_rows=tile_rows,
+                interpret=interpret, stokes=True,
+            )
+
+            def img2(p):
+                return p.reshape(-1)[:n].reshape(H, W)
+
+            film = tuple(jnp.zeros((H, W), jnp.float32) for _ in range(NP))
+            if tent:
+                i = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        film = tuple(
+                            film_mod._shift_add(f, img2(accs[i + j]), dy, dx)
+                            for j, f in enumerate(film)
+                        )
+                        i += NP
+            else:
+                film = tuple(f + img2(a) for f, a in zip(film, accs[:NP]))
+            film = tuple(jax.lax.psum(f, axis) for f in film)
+            n_rays = jax.lax.psum(jnp.sum(nr).astype(jnp.int32), axis)
+            return film + (n_rays,)
+
+        fn = shard_map(
+            shard_fn_film, mesh=mesh, in_specs=(P(axis),),
+            out_specs=(P(),) * (NP + 1), check_vma=False,
+        )
+        outs = jax.jit(fn)(jnp.asarray(seeds_f))
+        film, n_rays = outs[:NP], outs[NP]
+        render_stokes_pallas_sharded.last_ray_count = int(n_rays)
+        fw = film[-1]
+        S = jnp.stack(film[:-1], -1) / jnp.maximum(fw[..., None], 1e-12)
+        return S.reshape(H, W, 4, 3)
+
     seed0 = jnp.int32(seed * 100003)
     seeds = seed0 + jnp.arange(spp, dtype=jnp.int32).reshape(n_dev, k)
 
