@@ -152,7 +152,8 @@ def build_shading_table(clusters, tri_n0, tri_n1, tri_n2, tri_albedo):
     return out
 
 
-def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
+def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None,
+                   max_count=CLUSTER):
     """Group triangles into spatial clusters of <= CLUSTER, padded.
 
     Args:
@@ -162,6 +163,11 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
       bvh: optional BVH dict (geometry.bvh.build_bvh output) — when given,
         clusters are maximal BVH treelets (tight bounds); prim_order is
         taken from it.
+      max_count: treelet size cap (<= CLUSTER).  Smaller treelets leave
+        table lanes empty but give tighter AABBs; with dynamic trip counts
+        the sweep only pays for real triangles, so divergence-bound meshes
+        can win (the r2 CLUSTER=64 experiment narrowed the TABLE and lost
+        lane occupancy — this knob keeps the (9, 128) layout).
     Returns dict:
       tris:   (Cp, 9, 128) f32 — components (p0x..p0z, e1x..e1z, e2x..e2z)
       bounds: (Cp, 32) f32 — cols 0-5 cluster AABB (minx..maxz), col 6 the
@@ -184,7 +190,7 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None):
     if bvh is not None:
         order = np.asarray(bvh["prim_order"]).astype(np.int32)
         groups = []
-        for s, e in _treelet_ranges(bvh, T):
+        for s, e in _treelet_ranges(bvh, T, max_count=max_count):
             ids = order[s:e]
             ids = ids[ids < T]
             groups.append(ids)

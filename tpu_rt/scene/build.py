@@ -498,10 +498,25 @@ class _Builder:
         # small scenes take the wide brute-force XLA path.
         clusters = None
         if n_tris > 192:  # trace.BRUTE_FORCE_MAX_PRIMS
-            from tpu_rt.ops.pallas_mesh import build_clusters
+            from tpu_rt.ops.pallas_mesh import (
+                SEGMENT_C,
+                _treelet_ranges,
+                build_clusters,
+            )
 
+            # Treelet size: 64-tri treelets halve the AABB volume (tighter
+            # culls, shorter sweeps; dynamic trip counts mean empty lanes
+            # cost nothing) — measured +10-35% on teapot — but larger
+            # meshes pay per-segment launch overhead for the 2x cluster
+            # count (bunny measured 62.3M at 128 vs 56.1M at 64), so only
+            # meshes whose 64-tri treelets still fit ONE SMEM segment
+            # take the smaller size (tools/sweep_mesh_clsize.py).
+            max_count = 64 if len(
+                _treelet_ranges(bvh, n_tris, max_count=64)
+            ) <= SEGMENT_C else 128
             clusters = build_clusters(
-                tri_p0, cat("e1", 3), cat("e2", 3), bvh=bvh
+                tri_p0, cat("e1", 3), cat("e2", 3), bvh=bvh,
+                max_count=max_count,
             )
 
         geometry = Geometry(
