@@ -1,0 +1,93 @@
+"""DAS tiling/precision sweep on the real TPU (USMain-sized problem).
+
+The matmul-form DAS (tpu_rt/us/beamform.py::das_beamform_matmul) spends its
+time CONSTRUCTING the per-(angle, element) hat-weight tensor — O(P * window)
+VPU ops — not in the MXU contraction, so the window size (which scales with
+the pixel tile's delay spread ~ tz*dz + tx*dx) is the lever.  This sweeps
+tile shapes and einsum precisions at the reference USMain acquisition
+config (/root/reference/USMain.py:26-42: 5 angles, 64 elements, 10k samples
+at 50 MHz / 5 MHz / 1540 m/s; lambda/4 grid over x in [-4,4] cm, z in
+[0.1,50] mm -> 1040 x 650 = 676k pixels) and checks each variant against
+the gather-form reference.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/diag_das.py
+"""
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import jax
+import numpy as np
+
+from tpu_rt.us.beamform import das_beamform, das_beamform_matmul, grid_scan
+
+FS, F0, C = 50e6, 5e6, 1540.0
+A, E, T = 5, 64, 10000
+
+
+def main():
+    rng = np.random.default_rng(0)
+    # Band-limited synthetic RF: white noise convolved with a 5 MHz pulse
+    # so the interpolation error check is representative.
+    t = np.arange(64) / FS
+    pulse = np.sin(2 * np.pi * F0 * t) * np.exp(-0.5 * ((t - t[32]) / (t[8])) ** 2)
+    ch = rng.standard_normal((A, E, T)).astype(np.float32)
+    ch = np.apply_along_axis(lambda x: np.convolve(x, pulse, "same"), 2, ch)
+    ch = jax.device_put(ch.astype(np.float32))
+    elem_x = jax.device_put(
+        (np.arange(E, dtype=np.float32) - (E - 1) / 2) * 0.00012
+    )
+    angles = np.linspace(-15, 15, A).astype(np.float32)
+    step = C / F0 / 4.0
+    xg, zg = grid_scan(-0.04, 0.04, 0.001, 0.05, step, step)
+    print(f"grid {xg.shape[0]} x {zg.shape[0]} = {xg.shape[0]*zg.shape[0]} px",
+          flush=True)
+
+    ref = None
+
+    def run(label, fn):
+        nonlocal ref
+        f = jax.jit(fn)
+        out = jax.block_until_ready(f(ch))  # compile + warm
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(ch))
+            times.append(time.perf_counter() - t0)
+        ms = sorted(times)[2] * 1e3
+        o = np.asarray(out)
+        if ref is None:
+            ref = o
+            rel = 0.0
+        else:
+            rel = float(np.sqrt(((o - ref) ** 2).mean()) /
+                        max(np.sqrt((ref ** 2).mean()), 1e-30))
+        print(f"{label:42s} {ms:8.1f} ms   rel-rmse vs gather {rel:.2e}",
+              flush=True)
+
+    run("gather (reference form)",
+        lambda d: das_beamform(d, angles, elem_x, FS, C, xg, zg))
+
+    P = jax.lax.Precision
+    for (tx, tz, prec, tag) in [
+        (8, 64, P.HIGHEST, "legacy 8x64 HIGHEST (r2 default)"),
+        (16, 16, P.HIGHEST, "16x16 HIGHEST"),
+        (8, 8, P.HIGHEST, "8x8 HIGHEST"),
+        (8, 16, P.HIGHEST, "8x16 HIGHEST"),
+        (16, 8, P.HIGHEST, "16x8 HIGHEST"),
+        (32, 32, P.HIGHEST, "32x32 HIGHEST"),
+        (16, 16, P.HIGH, "16x16 HIGH"),
+        (8, 8, P.HIGH, "8x8 HIGH"),
+        (8, 8, P.DEFAULT, "8x8 DEFAULT(bf16)"),
+    ]:
+        run(f"matmul {tag}",
+            lambda d, tx=tx, tz=tz, prec=prec: das_beamform_matmul(
+                d, angles, elem_x, FS, C, xg, zg, tx=tx, tz=tz,
+                precision=prec))
+
+
+if __name__ == "__main__":
+    main()
