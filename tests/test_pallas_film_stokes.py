@@ -398,3 +398,86 @@ def test_render_stokes_sharded_film_path_matches_single_chip(cbox_pol12):
     # psum tree order vs sequential chunk adds: a few near-cancelling
     # Q/U elements differ at the 1e-5 level (measured max abs 7.5e-6)
     np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("filt", ["box", "tent"])
+def test_film_regen_loop_equals_unrolled(cbox8, filt):
+    """The persistent regeneration while_loop (per-lane sample restart —
+    reclaims the dead-lane tail at deep max_depth) must equal the unrolled
+    fori film kernel: the per-sample RNG re-key gives every (lane, sample)
+    the same stream in both forms, and each lane meets its samples in
+    order.  Tolerance is ulp-level only — XLA fuses/FMA-groups the two
+    program shapes differently (measured max rel diff 2.5e-7); the
+    integer-valued ray-count plane must match EXACTLY."""
+    from tpu_rt.scene.types import FILTER_BOX, FILTER_TENT
+
+    ft = FILTER_TENT if filt == "tent" else FILTER_BOX
+    scene = cbox8.replace(camera=cbox8.camera.replace(filter_type=ft))
+    bs = pp.bake_scene(scene)
+    a, nra = pp.pallas_film_trace(bs, scene.camera, 17, 3, interpret=True,
+                                  regen=False)
+    b, nrb = pp.pallas_film_trace(bs, scene.camera, 17, 3, interpret=True,
+                                  regen=True)
+    for i, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-6, atol=1e-8,
+                                   err_msg=f"plane {i}")
+    np.testing.assert_array_equal(np.asarray(nra), np.asarray(nrb))
+    assert float(np.abs(np.asarray(a[0])).sum()) > 0.0
+
+
+def test_stokes_film_regen_loop_equals_unrolled(cbox_pol12):
+    """Polarized film mode: the regeneration loop carries the full Mueller
+    state (T/basis/S) per lane and must still match the unrolled kernel.
+    Tolerance: XLA fuses the while-loop body and the unrolled chain
+    differently, and a 1-ulp divergence amplifies through the depth>=3
+    second-order Mueller basis rotations (measured: exact at depth<=2,
+    max rel 1.7e-5 at depth 3 on ~0.2% of elements); ray counts exact."""
+    from tpu_rt.scene.types import FILTER_BOX
+
+    scene = cbox_pol12.replace(camera=cbox_pol12.camera.replace(
+        filter_type=FILTER_BOX))
+    bs = pp.bake_scene(scene)
+    a, nra = pp.pallas_film_trace(bs, scene.camera, 9, 3, interpret=True,
+                                  stokes=True, regen=False)
+    b, nrb = pp.pallas_film_trace(bs, scene.camera, 9, 3, interpret=True,
+                                  stokes=True, regen=True)
+    for i, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-7,
+                                   err_msg=f"plane {i}")
+    np.testing.assert_array_equal(np.asarray(nra), np.asarray(nrb))
+
+
+def test_per_sample_early_exit_equals_unrolled(cbox8, monkeypatch):
+    """The depth while_loop with tile-wide early exit (per-sample kernels:
+    gaussian/textured-env/Stokes scenes) is output-identical to the
+    unrolled bounce chain up to XLA fusion reassociation — dead lanes
+    contribute exact zeros and the rng draws they skip are never read."""
+    bs = pp.bake_scene(cbox8)
+    c = cbox8.camera
+    monkeypatch.setattr(pp, "EARLY_EXIT_MODE", "0")
+    L0, j0, n0 = pp.pallas_raygen_trace(bs, c, 3, interpret=True)
+    monkeypatch.setattr(pp, "EARLY_EXIT_MODE", "1")
+    L1, j1, n1 = pp.pallas_raygen_trace(bs, c, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(L0), np.asarray(L1),
+                               rtol=5e-6, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(j0), np.asarray(j1))
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    assert float(np.abs(np.asarray(L0)).sum()) > 0.0
+
+
+def test_stokes_early_exit_equals_unrolled(cbox_pol12, monkeypatch):
+    """Early exit under full Mueller transport (the cbox_pol configuration:
+    gaussian filter, deep max_depth) matches the unrolled kernel (ulp-level
+    tolerance; jitter planes and ray counts exact)."""
+    bs = pp.bake_scene(cbox_pol12)
+    c = cbox_pol12.camera
+    monkeypatch.setattr(pp, "EARLY_EXIT_MODE", "0")
+    S0, j0, n0 = pp.pallas_stokes_trace(bs, c, 3, interpret=True)
+    monkeypatch.setattr(pp, "EARLY_EXIT_MODE", "1")
+    S1, j1, n1 = pp.pallas_stokes_trace(bs, c, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(S0), np.asarray(S1),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(j0), np.asarray(j1))
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))

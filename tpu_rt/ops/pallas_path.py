@@ -27,6 +27,7 @@ seeded per tile.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -58,6 +59,38 @@ _SUPPORTED_BSDFS = {BSDF_DIFFUSE, BSDF_DIELECTRIC, BSDF_CONDUCTOR,
 # Tests on the CPU backend set this to run the kernel in interpret mode
 # (mirrors tpu_rt.ops.pallas_mesh.INTERPRET).
 INTERPRET = False
+
+# Film-mode sample loop: "unroll" = fori over samples with the depth loop
+# unrolled; "regen" = persistent while_loop with per-lane sample
+# regeneration (identical output — see _regen_loop); "auto" picks regen
+# for deep scenes where the reclaimed dead-lane tail outweighs the loop
+# overhead (measured crossover ~depth 8 on v5e).  Env TPU_RT_REGEN
+# overrides: 1/0/auto.
+REGEN_MODE = os.environ.get("TPU_RT_REGEN", "auto")
+_REGEN_AUTO_DEPTH = 8
+
+
+def _use_regen(bs) -> bool:
+    if REGEN_MODE == "1":
+        return True
+    if REGEN_MODE == "0":
+        return False
+    return bs.max_depth >= _REGEN_AUTO_DEPTH
+
+
+# Per-sample kernels (gaussian-filter / textured-env / Stokes scenes): a
+# depth while_loop with tile-wide early exit replaces the unrolled bounce
+# chain on deep scenes (identical output; see _trace_sample).  Env
+# TPU_RT_EARLY_EXIT overrides: 1/0/auto.
+EARLY_EXIT_MODE = os.environ.get("TPU_RT_EARLY_EXIT", "auto")
+
+
+def _use_early_exit(bs) -> bool:
+    if EARLY_EXIT_MODE == "1":
+        return True
+    if EARLY_EXIT_MODE == "0":
+        return False
+    return bs.max_depth >= _REGEN_AUTO_DEPTH
 
 
 def available() -> bool:
@@ -561,73 +594,78 @@ def _mueller_chain(T, basis, p_B, p_A, M6):
     return T_new, basis_new
 
 
-def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=None):
-    """Trace ONE path sample per lane (shared by the per-sample kernels
-    and the in-kernel film-accumulation loop).
+def _camera_ray(raygen, shape, pid, jx, jy):
+    """Primary camera ray for each lane from its linear pixel index plus
+    in-pixel jitter (jx, jy).  Returns (o, d, in_image).
+
+    The bounds compare stays in int32 (exact); the px/py split is f32
+    math, exact because bake asserts n_pix <= 2^24 (ADVICE r2)."""
+    zeros = jnp.zeros(shape, jnp.float32)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    # pid is hoisted to the kernel prologue (pl.program_id cannot be
+    # lowered inside a fori_loop body in interpret mode)
+    idx_i = (pid * shape[0] + row_i) * shape[1] + col_i
+    in_image = idx_i < raygen["n_pix"]
+    idx = idx_i.astype(jnp.float32)
+    W = float(raygen["W"])
+    py = jnp.floor(idx * (1.0 / W))
+    px = idx - py * W
+    # f32 quotients can land one row off near row boundaries; a
+    # single +/-1 correction makes the split exact for any W (the
+    # initial estimate is always within one row for idx < 2^24).
+    lo = px < 0.0
+    hi = px >= W
+    py = py - jnp.where(lo, 1.0, 0.0) + jnp.where(hi, 1.0, 0.0)
+    px = px + jnp.where(lo, W, 0.0) - jnp.where(hi, W, 0.0)
+    u = (px + jx) * (1.0 / W)
+    v = (py + jy) * (1.0 / float(raygen["H"]))
+    cx = (2.0 * u - 1.0) * raygen["tfx"]
+    cy = (1.0 - 2.0 * v) * raygen["tfy"]
+    R = raygen["R"]  # rows of to_world[:3,:3]
+    d = _normalize((
+        R[0][0] * cx + R[0][1] * cy + R[0][2],
+        R[1][0] * cx + R[1][1] * cy + R[1][2],
+        R[2][0] * cx + R[2][1] * cy + R[2][2],
+    ))
+    og = raygen["origin"]
+    o = (og[0] + zeros, og[1] + zeros, og[2] + zeros)
+    return o, d, in_image
+
+
+def _sample_state_init(bs: BakedScene, raygen, rng, o=None, d=None, pid=None,
+                       stokes=None):
+    """Fresh per-sample path state (the dict `_make_bounce_step` steps).
 
     raygen=None: o/d are the component-tuples of the input rays.
-    raygen=dict: camera rays are generated in-kernel from the lane pixel
-    index + on-core jitter (aux carries the jitter planes).
-    Returns (L, ray_count, rng, aux) with aux = dict(jx, jy, esc_d,
-    esc_thr)."""
-    n_lights = max(bs.n_lights, 1)
-    inv_n_lights = 1.0 / n_lights
-    has_lights = bs.n_lights > 0
-    # Rough-conductor lanes get full NEE-side MIS; the extra code is
-    # compiled only when the baked scene contains a rough conductor.
-    has_rough = any(bt == BSDF_ROUGH_CONDUCTOR for bt, _ in bs.bsdfs)
+    raygen=dict: draws the in-pixel jitter and generates the camera ray.
+    Returns (state, (jx, jy))."""
     shape = rng.shape
     zeros = jnp.zeros(shape, jnp.float32)
     ones = jnp.ones(shape, jnp.float32)
     jx = jy = zeros
     if raygen is not None:
-        # pixel index from the lane position (row-major over the image).
-        # The bounds compare stays in int32 (exact); the px/py split is
-        # f32 math, exact because bake asserts n_pix <= 2^24 (ADVICE r2).
-        row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        # pid is hoisted to the kernel prologue (pl.program_id cannot be
-        # lowered inside a fori_loop body in interpret mode)
-        idx_i = (pid * shape[0] + row_i) * shape[1] + col_i
-        in_image = idx_i < raygen["n_pix"]
-        idx = idx_i.astype(jnp.float32)
-        W = float(raygen["W"])
-        py = jnp.floor(idx * (1.0 / W))
-        px = idx - py * W
-        # f32 quotients can land one row off near row boundaries; a
-        # single +/-1 correction makes the split exact for any W (the
-        # initial estimate is always within one row for idx < 2^24).
-        lo = px < 0.0
-        hi = px >= W
-        py = py - jnp.where(lo, 1.0, 0.0) + jnp.where(hi, 1.0, 0.0)
-        px = px + jnp.where(lo, W, 0.0) - jnp.where(hi, W, 0.0)
         rng, jx = _rng_next(rng)
         rng, jy = _rng_next(rng)
-        u = (px + jx) * (1.0 / W)
-        v = (py + jy) * (1.0 / float(raygen["H"]))
-        cx = (2.0 * u - 1.0) * raygen["tfx"]
-        cy = (1.0 - 2.0 * v) * raygen["tfy"]
-        R = raygen["R"]  # rows of to_world[:3,:3]
-        d = _normalize((
-            R[0][0] * cx + R[0][1] * cy + R[0][2],
-            R[1][0] * cx + R[1][1] * cy + R[1][2],
-            R[2][0] * cx + R[2][1] * cy + R[2][2],
-        ))
-        og = raygen["origin"]
-        o = (og[0] + zeros, og[1] + zeros, og[2] + zeros)
-
-    L = (zeros, zeros, zeros)
-    thr = (ones, ones, ones)
-    active = (ones > 0.0) if raygen is None else in_image
-    prev_pdf = ones
-    prev_delta = active
-    eta_scale = ones
-    ray_count = zeros
-    # textured-env escape record: direction + throughput at the (single)
-    # escape event; the lat-long lookup runs in XLA after the kernel
-    esc_d = (zeros, zeros, zeros)
-    esc_thr = (zeros, zeros, zeros)
-
+        o, d, in_image = _camera_ray(raygen, shape, pid, jx, jy)
+        active = in_image
+    else:
+        active = ones > 0.0
+    st = dict(
+        rng=rng, o=o, d=d,
+        thr=(ones, ones, ones),
+        L=(zeros, zeros, zeros),
+        active=active,
+        prev_pdf=ones,
+        prev_delta=active,
+        eta_scale=ones,
+        ray_count=zeros,
+        # textured-env escape record: direction + throughput at the
+        # (single) escape event; the lat-long lookup runs in XLA after
+        # the kernel
+        esc_d=(zeros, zeros, zeros),
+        esc_thr=(zeros, zeros, zeros),
+    )
     if stokes is not None:
         # Polarized transport (integrator/stokes.py rebuilt in-kernel):
         # T[ch][i][j] is the accumulated camera-side Mueller matrix per RGB
@@ -643,16 +681,108 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=
         T = [[[ones if i == j else zeros for j in range(4)] for i in range(4)]
              for _ in range(3)]
         S = [[zeros for _ in range(3)] for _ in range(4)]
+        st.update(T=T, basis=basis, S=S)
+    return st, (jx, jy)
 
-    for depth in range(bs.max_depth):
+
+def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None,
+                  stokes=None, early_exit=False):
+    """Trace ONE path sample per lane (shared by the per-sample kernels
+    and the in-kernel film-accumulation loop).
+
+    raygen=None: o/d are the component-tuples of the input rays.
+    raygen=dict: camera rays are generated in-kernel from the lane pixel
+    index + on-core jitter (aux carries the jitter planes).
+    Returns (L, ray_count, rng, aux) with aux = dict(jx, jy, esc_d,
+    esc_thr)."""
+    st, (jx, jy) = _sample_state_init(bs, raygen, rng, o, d, pid, stokes)
+    step = _make_bounce_step(bs, stokes=stokes)
+    if early_exit and bs.max_depth > 1:
+        # while_loop over depth with a TILE-WIDE early exit once every lane
+        # is dead: at deep max_depth (cbox_pol runs 16 with RR from 5) the
+        # unrolled tail is nearly empty — alive-fraction collapses by depth
+        # ~9 — so the loop form reclaims it.  Output is IDENTICAL to the
+        # unrolled form (dead lanes contribute exact zeros; the per-bounce
+        # rng draws they skip are never read).  Compile also drops from
+        # max_depth copies of the bounce to one.
+        leaves0, treedef = jax.tree_util.tree_flatten(st)
+
+        def cond(c):
+            st_c = jax.tree_util.tree_unflatten(treedef, list(c[1:]))
+            alive = jnp.max(jnp.where(st_c["active"], 1.0, 0.0)) > 0.0
+            return (c[0] < bs.max_depth) & alive
+
+        def body(c):
+            st_c = jax.tree_util.tree_unflatten(treedef, list(c[1:]))
+            st_c = step(c[0], st_c)
+            return (c[0] + 1, *jax.tree_util.tree_leaves(st_c))
+
+        final = jax.lax.while_loop(cond, body, (jnp.int32(0), *leaves0))
+        st = jax.tree_util.tree_unflatten(treedef, list(final[1:]))
+    else:
+        for depth in range(bs.max_depth):
+            st = step(depth, st)
+    aux = dict(jx=jx, jy=jy, esc_d=st["esc_d"], esc_thr=st["esc_thr"])
+    if stokes is not None:
+        aux["S"] = st["S"]
+    return st["L"], st["ray_count"], st["rng"], aux
+
+
+def _make_bounce_step(bs: BakedScene, stokes=None):
+    """Build step(depth, st) -> st: ONE path-tracing bounce over the state
+    dict from `_sample_state_init`.
+
+    `depth` may be a Python int (static: dead code per depth is elided —
+    the unrolled per-sample form) or a traced int32 plane (dynamic: every
+    depth-dependent gate becomes a per-lane mask — the regeneration
+    while_loop form, where each lane is at its own depth)."""
+    n_lights = max(bs.n_lights, 1)
+    inv_n_lights = 1.0 / n_lights
+    has_lights = bs.n_lights > 0
+    # Rough-conductor lanes get full NEE-side MIS; the extra code is
+    # compiled only when the baked scene contains a rough conductor.
+    has_rough = any(bt == BSDF_ROUGH_CONDUCTOR for bt, _ in bs.bsdfs)
+
+    def step(depth, st):
+        static = isinstance(depth, int)
+        rng = st["rng"]
+        o = st["o"]
+        d = st["d"]
+        thr = st["thr"]
+        L = st["L"]
+        active = st["active"]
+        prev_pdf = st["prev_pdf"]
+        prev_delta = st["prev_delta"]
+        eta_scale = st["eta_scale"]
+        ray_count = st["ray_count"]
+        esc_d = st["esc_d"]
+        esc_thr = st["esc_thr"]
+        if stokes is not None:
+            T = st["T"]
+            basis = st["basis"]
+            S = st["S"]
+        shape = rng.shape
+        zeros = jnp.zeros(shape, jnp.float32)
+        ones = jnp.ones(shape, jnp.float32)
         t, prim_f, n = _sweep(bs, o, d, 1e-4, _BIG)
         hit = (prim_f >= 0.0) & active
         ray_count = ray_count + jnp.where(active, 1.0, 0.0)
 
-        if bs.env_rgb is not None and not (depth == 0 and bs.hide_emitters):
+        # Emitter-visibility gate: static depth elides the blocks at
+        # depth 0 when hide_emitters; traced depth masks per lane.
+        if static:
+            show_em = not (depth == 0 and bs.hide_emitters)
+            em_gate = None
+        else:
+            show_em = True
+            em_gate = (depth != 0) if bs.hide_emitters else None
+
+        if bs.env_rgb is not None and show_em:
             # constant environment: BSDF-sampling-only estimator (env is
             # not in the NEE light set), so escape weight is always 1
             esc = active & ~hit
+            if em_gate is not None:
+                esc = esc & em_gate
             ef = jnp.where(esc, 1.0, 0.0)
             L = (
                 L[0] + thr[0] * bs.env_rgb[0] * ef,
@@ -664,8 +794,10 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=
                 for i in range(4):
                     for ch in range(3):
                         S[i][ch] = S[i][ch] + T[ch][i][0] * bs.env_rgb[ch] * ef
-        if bs.env_textured and not (depth == 0 and bs.hide_emitters):
+        if bs.env_textured and show_em:
             esc = active & ~hit
+            if em_gate is not None:
+                esc = esc & em_gate
             esc_d = _where3(esc, d, esc_d)
             esc_thr = _where3(esc, thr, esc_thr)
 
@@ -674,10 +806,12 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=
         cos_l = _dot(n, wi)
 
         # ---- emitter hit + MIS ------------------------------------------
-        if bs.em_radiance and not (depth == 0 and bs.hide_emitters):
+        if bs.em_radiance and show_em:
             em_id = _prim_attr_f(bs, prim_f, lambda p: p.emitter, -1.0)
             for e, rad in enumerate(bs.em_radiance):
                 m = hit & (em_id == float(e)) & (cos_l > 0.0)
+                if em_gate is not None:
+                    m = m & em_gate
                 pdf_light = (
                     (1.0 / bs.em_area[e]) * t * t
                     / jnp.maximum(cos_l, 1e-6) * inv_n_lights
@@ -786,7 +920,10 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=
         is_diffuse = btype == float(BSDF_DIFFUSE)
 
         # ---- NEE (diffuse lanes; one light sample) -----------------------
-        if has_lights and depth + 2 <= bs.max_depth:
+        # static: the whole block is elided at the final depth; traced:
+        # the block always runs and nee_gate masks the contribution.
+        if has_lights and (static and depth + 2 <= bs.max_depth or not static):
+            nee_gate = None if static else (depth + 2 <= bs.max_depth)
             li_f = jnp.minimum(jnp.floor(u0 * bs.n_lights), bs.n_lights - 1)
             lp = (zeros, zeros, zeros)
             ln = (zeros, zeros, zeros)
@@ -861,6 +998,8 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=
                 nee_lanes = nee_lanes | rough_nee
             nee_ok = hit & nee_lanes & (cos_sl > 0.0)
             nee_ok = nee_ok & (is_delta_l | (cos_ll > 1e-6))
+            if nee_gate is not None:
+                nee_ok = nee_ok & nee_gate
 
             occ = _sweep(
                 bs,
@@ -1105,12 +1244,33 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=
                 T, basis, _scale(d, -1.0), _scale(d_new, -1.0), M6
             )
 
-        if depth >= bs.rr_depth:
+        if static and depth >= bs.rr_depth:
             rng, u_rr = _rng_next(rng)
             inv_e2 = 1.0 / jnp.maximum(eta_scale * eta_scale, 1e-12)
             q = jnp.minimum(thr_max * inv_e2, 0.95)
             survive = u_rr < q
             inv_q = 1.0 / jnp.maximum(q, 1e-12)
+            thr_new = (
+                jnp.where(survive, thr_new[0] * inv_q, 0.0),
+                jnp.where(survive, thr_new[1] * inv_q, 0.0),
+                jnp.where(survive, thr_new[2] * inv_q, 0.0),
+            )
+            alive = alive & survive
+            if stokes is not None:
+                sf = jnp.where(survive, inv_q, 0.0)
+                T_new = [[[T_new[ch][i][j] * sf for j in range(4)]
+                          for i in range(4)] for ch in range(3)]
+        elif not static:
+            # Traced depth: RR draws advance the rng ONLY on lanes past
+            # rr_depth so each lane's (sample) stream matches the static
+            # unrolled form bit-for-bit.
+            rr_on = depth >= bs.rr_depth
+            rng2, u_rr = _rng_next(rng)
+            rng = jnp.where(rr_on, rng2, rng)
+            inv_e2 = 1.0 / jnp.maximum(eta_scale * eta_scale, 1e-12)
+            q = jnp.minimum(thr_max * inv_e2, 0.95)
+            survive = (u_rr < q) | ~rr_on
+            inv_q = jnp.where(rr_on, 1.0 / jnp.maximum(q, 1e-12), 1.0)
             thr_new = (
                 jnp.where(survive, thr_new[0] * inv_q, 0.0),
                 jnp.where(survive, thr_new[1] * inv_q, 0.0),
@@ -1130,17 +1290,20 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None, stokes=
             T = [[[T_new[ch][i][j] * af for j in range(4)]
                   for i in range(4)] for ch in range(3)]
             basis = _where3(alive, basis_new, basis)
-        active = alive
-        prev_pdf = pdf_s
-        prev_delta = delta_s
+        out = dict(
+            rng=rng, o=o, d=d, thr=thr, L=L, active=alive,
+            prev_pdf=pdf_s, prev_delta=delta_s, eta_scale=eta_scale,
+            ray_count=ray_count, esc_d=esc_d, esc_thr=esc_thr,
+        )
+        if stokes is not None:
+            out.update(T=T, basis=basis, S=S)
+        return out
 
-    aux = dict(jx=jx, jy=jy, esc_d=esc_d, esc_thr=esc_thr)
-    if stokes is not None:
-        aux["S"] = S
-    return L, ray_count, rng, aux
+    return step
 
 
-def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
+def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None,
+                  early_exit=False):
     """Build the megakernel body.
 
     raygen=None: rays arrive as (o, d) input planes; per-sample outputs.
@@ -1172,8 +1335,9 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
         pid = pl.program_id(0)
         rng = _rng_init(seed_ref[0], pid.astype(jnp.uint32), shape)
         if stokes is not None and film is None:
-            Lv, ray_count, rng, aux = _trace_sample(bs, raygen, rng, pid=pid,
-                                                    stokes=stokes)
+            Lv, ray_count, rng, aux = _trace_sample(
+                bs, raygen, rng, pid=pid, stokes=stokes,
+                early_exit=early_exit)
             S = aux["S"]
             for i in range(4):
                 for ch in range(3):
@@ -1187,10 +1351,12 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
             if raygen is None:
                 o = (ox[:], oy[:], oz[:])
                 d = (dxi[:], dyi[:], dzi[:])
-                Lv, ray_count, rng, aux = _trace_sample(bs, None, rng, o, d, pid=pid)
+                Lv, ray_count, rng, aux = _trace_sample(
+                    bs, None, rng, o, d, pid=pid, early_exit=early_exit)
                 lr, lg, lb, nrays, *esc_refs = outs
             else:
-                Lv, ray_count, rng, aux = _trace_sample(bs, raygen, rng, pid=pid)
+                Lv, ray_count, rng, aux = _trace_sample(
+                    bs, raygen, rng, pid=pid, early_exit=early_exit)
                 lr, lg, lb, nrays, jx_out, jy_out, *esc_refs = outs
                 jx_out[:] = aux["jx"]
                 jy_out[:] = aux["jy"]
@@ -1219,28 +1385,26 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
         nv = 12 if stokes is not None else 3  # channels per sample
         n_acc = 9 * (nv + 1) if tent else nv + 1
 
-        def body(_, carry):
-            rng = carry[0]
-            acc = carry[1:]
-            Lv, rc, rng, aux = _trace_sample(bs, raygen, rng, pid=pid,
-                                             stokes=stokes)
-            if stokes is not None:
-                S = aux["S"]
-                vals = [S[i][ch] for i in range(4) for ch in range(3)]
-            else:
-                vals = list(Lv)
-            # exclude non-finite samples from value AND weight (the XLA
-            # splat path does the same via its `ok` mask); NaN/inf must be
-            # zeroed with where, not multiplied (inf * 0 = nan).
+        def splat_upd(vals, rc, jx, jy, gate=None):
+            """Per-sample filter-splat update planes (shared by the
+            unrolled fori body and the regeneration loop, whose `gate`
+            masks lanes that did not finish a sample this iteration).
+
+            Excludes non-finite samples from value AND weight (the XLA
+            splat path does the same via its `ok` mask); NaN/inf must be
+            zeroed with where, not multiplied (inf * 0 = nan)."""
             ok = None
             for v in vals:
                 f = jnp.abs(v) < jnp.inf  # False for NaN too
                 ok = f if ok is None else (ok & f)
             okf = jnp.where(ok, 1.0, 0.0)
             vals = [jnp.where(ok, v, 0.0) for v in vals]
+            if gate is not None:
+                okf = okf * gate
+                vals = [v * gate for v in vals]
+                rc = rc * gate
             upd = []
             if tent:
-                jx, jy = aux["jx"], aux["jy"]
                 # tent weight of this sample at pixel center (d + 0.5) for
                 # d in {-1, 0, +1}: numerically identical to
                 # film.splat_aligned's gather weights.
@@ -1261,14 +1425,120 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None):
             else:  # box: the jittered sample stays in its own pixel, w=1
                 upd = vals + [okf]
             upd.append(rc)
-            return (rng,) + tuple(a + u for a, u in zip(acc, upd))
+            return upd
 
-        init = (rng,) + (zeros,) * (n_acc + 1)
+        def sample_vals(st):
+            if stokes is not None:
+                S = st["S"]
+                return [S[i][ch] for i in range(4) for ch in range(3)]
+            return list(st["L"])
+
+        if film.get("regen"):
+            final = _regen_loop(bs, raygen, stokes, seed_ref, pid, shape,
+                                film["n_samples"], n_acc, sample_vals,
+                                splat_upd)
+            for ref, val in zip(outs, final):
+                ref[:] = val
+            return
+
+        def body(i, carry):
+            acc = carry
+            # Per-sample RNG re-key: sample i of a chunk seeded s draws the
+            # EXACT stream of a per-sample kernel launch with seed s + i, so
+            # film-mode output equals per-sample + splat for ANY chunking
+            # (and the regeneration loop can replay (lane, sample) streams
+            # independent of when a lane reaches that sample).
+            rng = _rng_init(seed_ref[0] + i, pid.astype(jnp.uint32), shape)
+            st, (jx, jy) = _sample_state_init(bs, raygen, rng, pid=pid,
+                                              stokes=stokes)
+            step = _make_bounce_step(bs, stokes=stokes)
+            for depth in range(bs.max_depth):
+                st = step(depth, st)
+            upd = splat_upd(sample_vals(st), st["ray_count"], jx, jy)
+            return tuple(a + u for a, u in zip(acc, upd))
+
+        init = (zeros,) * (n_acc + 1)
         final = jax.lax.fori_loop(0, film["n_samples"], body, init)
-        for ref, val in zip(outs, final[1:]):
+        for ref, val in zip(outs, final):
             ref[:] = val
 
     return kernel
+
+
+def _regen_loop(bs, raygen, stokes, seed_ref, pid, shape, n_samples, n_acc,
+                sample_vals, splat_upd):
+    """Film accumulation via a PERSISTENT while_loop with per-lane sample
+    regeneration: every lane steps ONE bounce per iteration at its own
+    (sample, depth); when its path terminates (kill/RR/depth cap) the
+    sample is splatted and the lane immediately restarts on its next
+    sample.  Total iterations per tile ~ max-lane sum of ACTUAL path
+    lengths instead of n_samples * max_depth, so dead-lane tail work at
+    deep max_depth (RR starts at depth 5) is reclaimed.
+
+    The per-sample RNG re-key (seed + sample index, hashed per lane) makes
+    each (lane, sample) stream identical to the unrolled fori form, and
+    each lane still meets its samples in order, so the accumulated planes
+    equal the unrolled kernel's up to XLA fusion/FMA reassociation between
+    the two program shapes (measured max rel diff 2.5e-7; ray counts
+    exact — tests assert both).
+
+    Bool state planes are carried as the bools themselves (single-vreg
+    (8,128) masks lower fine — the multi-vreg boolean-carry Mosaic crash
+    was at tm=32); merges between bool planes use logic ops, never select.
+    """
+    zeros = jnp.zeros(shape, jnp.float32)
+    nsf = float(n_samples)
+    max_d = float(bs.max_depth)
+    step = _make_bounce_step(bs, stokes=stokes)
+
+    def make_state(si):
+        rng = _rng_init(seed_ref[0] + si.astype(jnp.int32),
+                        pid.astype(jnp.uint32), shape)
+        st, (jx, jy) = _sample_state_init(bs, raygen, rng, pid=pid,
+                                          stokes=stokes)
+        return st, jx, jy
+
+    def merge(m, new, old):
+        def f(a, b):
+            if a.dtype == jnp.bool_:
+                return (m & a) | (~m & b)
+            return jnp.where(m, a, b)
+        return jax.tree_util.tree_map(f, new, old)
+
+    st0, jx0, jy0 = make_state(zeros)
+    leaves0, treedef = jax.tree_util.tree_flatten(st0)
+    n_fixed = 4 + n_acc + 1
+
+    def cond(c):
+        si = c[0]
+        return jnp.min(si) < nsf
+
+    def body(c):
+        si, depth, jx, jy = c[:4]
+        acc = list(c[4:n_fixed])
+        st = jax.tree_util.tree_unflatten(treedef, list(c[n_fixed:]))
+        st = step(depth, st)
+        depth = depth + 1.0
+        done = (~st["active"]) | (depth >= max_d)
+        finish = done & (si < nsf)
+        finishf = jnp.where(finish, 1.0, 0.0)
+        upd = splat_upd(sample_vals(st), st["ray_count"], jx, jy,
+                        gate=finishf)
+        acc = [a + u for a, u in zip(acc, upd)]
+        si = si + finishf
+        regen = finish & (si < nsf)
+        st["active"] = st["active"] & ~done
+        st_new, jxn, jyn = make_state(si)
+        st = merge(regen, st_new, st)
+        depth = jnp.where(regen, 0.0, depth)
+        jx = jnp.where(regen, jxn, jx)
+        jy = jnp.where(regen, jyn, jy)
+        leaves = jax.tree_util.tree_leaves(st)
+        return (si, depth, jx, jy, *acc, *leaves)
+
+    init = (zeros, zeros, jx0, jy0) + (zeros,) * (n_acc + 1) + tuple(leaves0)
+    final = jax.lax.while_loop(cond, body, init)
+    return final[4:n_fixed]
 
 
 
@@ -1292,7 +1562,7 @@ def pallas_path_trace(bs: BakedScene, o, d, seed, tile_rows=8, interpret=False):
     comps_in = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
     comps_in = [c.reshape(rows, lanes) for c in comps_in]
 
-    kernel = _build_kernel(bs)
+    kernel = _build_kernel(bs, early_exit=_use_early_exit(bs))
     # index_map receives the scalar-prefetch ref as a trailing arg
     block = pl.BlockSpec(
         (tile_rows, lanes), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
@@ -1346,7 +1616,8 @@ def pallas_raygen_trace(bs: BakedScene, camera, seed, tile_rows=8,
         tfy=float(camera.tan_fov_y),
         W=W, H=H, n_pix=n,
     )
-    kernel = _build_kernel(bs, raygen=raygen)
+    kernel = _build_kernel(bs, raygen=raygen,
+                           early_exit=_use_early_exit(bs))
     block = pl.BlockSpec(
         (tile_rows, lanes), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
     )
@@ -1376,7 +1647,7 @@ def pallas_raygen_trace(bs: BakedScene, camera, seed, tile_rows=8,
 
 
 def pallas_film_trace(bs: BakedScene, camera, seed, n_samples, tile_rows=8,
-                      interpret=False, stokes=False):
+                      interpret=False, stokes=False, regen=False):
     """Trace n_samples paths per pixel with IN-KERNEL raygen AND in-kernel
     reconstruction-filter accumulation (box/tent).
 
@@ -1415,7 +1686,8 @@ def pallas_film_trace(bs: BakedScene, camera, seed, n_samples, tile_rows=8,
     stokes_cfg = dict(cam_x=tuple(float(x) for x in m[:3, 0])) if stokes \
         else None
     kernel = _build_kernel(
-        bs, raygen=raygen, film=dict(n_samples=int(n_samples), filter=filt),
+        bs, raygen=raygen,
+        film=dict(n_samples=int(n_samples), filter=filt, regen=bool(regen)),
         stokes=stokes_cfg,
     )
     nv = 12 if stokes else 3
@@ -1479,7 +1751,8 @@ def pallas_stokes_trace(bs: BakedScene, camera, seed, tile_rows=8,
         W=W, H=H, n_pix=n,
     )
     stokes = dict(cam_x=tuple(float(x) for x in m[:3, 0]))
-    kernel = _build_kernel(bs, raygen=raygen, stokes=stokes)
+    kernel = _build_kernel(bs, raygen=raygen, stokes=stokes,
+                           early_exit=_use_early_exit(bs))
     block = pl.BlockSpec(
         (tile_rows, lanes), lambda i, _s: (i, 0), memory_space=pltpu.VMEM
     )
@@ -1545,7 +1818,7 @@ def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         n_full, rem = divmod(spp, spp_per_pass)
         whole = _get_stokes_film_render_multi_fn(
             bs, cam_key, c, H, W, tile_rows, interpret, spp_per_pass,
-            n_full, rem)
+            n_full, rem, regen=_use_regen(bs))
         S, n_rays = whole(jnp.int32(seed * 100003))
         render_stokes_pallas.last_ray_count = n_rays
         return S.reshape(H, W, 4, 3)
@@ -1555,7 +1828,8 @@ def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
     # dispatches at ~35 ms tunnel RTT each — 0.56 s of the 0.69 s cbox_pol
     # headline render).  spp is static in the cache key; scan length does
     # not affect compile time.
-    key = (_bake_key(bs), cam_key, tile_rows, interpret, spp)
+    key = (_bake_key(bs), cam_key, tile_rows, interpret, spp,
+           _use_early_exit(bs))
     whole = _RENDER_FN_CACHE.get(key)
     if whole is None:
         @_jax.jit
@@ -1629,7 +1903,8 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp):
     from tpu_rt.sensor import camera as _cam
     from tpu_rt.sensor import film as _film
 
-    key = (_bake_key(bs), cam_key, tile_rows, interpret, spp)
+    key = (_bake_key(bs), cam_key, tile_rows, interpret, spp,
+           _use_early_exit(bs))
     fn = _RENDER_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1679,7 +1954,7 @@ def _get_render_fn(bs, cam_key, c, H, W, tile_rows, interpret, spp):
 
 
 def _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows, interpret,
-                              k, n_full, rem):
+                              k, n_full, rem, regen=False):
     """Memoized jitted WHOLE-render for the in-kernel-film path: a lax.scan
     over n_full k-sample chunks (+ an optional rem-sample tail) plus the
     final develop, all inside ONE dispatch.  The per-chunk form costs one
@@ -1692,7 +1967,7 @@ def _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows, interpret,
     from tpu_rt.sensor import film as _film
 
     key = ("filmN", _bake_key(bs), cam_key, tile_rows, interpret,
-           k, n_full, rem)
+           k, n_full, rem, regen)
     fn = _RENDER_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1733,7 +2008,7 @@ def _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows, interpret,
                 film, nr = carry
                 accs, n_rays = pallas_film_trace(
                     bs, c, seed_i, k, tile_rows=tile_rows,
-                    interpret=interpret)
+                    interpret=interpret, regen=regen)
                 return (deposit(film, accs),
                         nr + jnp.sum(n_rays).astype(nr.dtype)), None
 
@@ -1745,7 +2020,7 @@ def _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows, interpret,
         if rem > 0:
             accs, n_rays = pallas_film_trace(
                 bs, c, seed0 + jnp.int32(n_full * k), rem,
-                tile_rows=tile_rows, interpret=interpret)
+                tile_rows=tile_rows, interpret=interpret, regen=regen)
             film = deposit(film, accs)
             nr = nr + jnp.sum(n_rays).astype(nr.dtype)
 
@@ -1759,7 +2034,8 @@ def _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows, interpret,
 
 
 def _get_stokes_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows,
-                                     interpret, k, n_full, rem):
+                                     interpret, k, n_full, rem,
+                                     regen=False):
     """Memoized jitted WHOLE-render for the polarized in-kernel-film path:
     the Stokes analogue of _get_film_render_multi_fn (13 planes per filter
     offset — 12 Stokes channels + weight — instead of 4)."""
@@ -1769,7 +2045,7 @@ def _get_stokes_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows,
     from tpu_rt.sensor import film as _film
 
     key = ("stokes_filmN", _bake_key(bs), cam_key, tile_rows, interpret,
-           k, n_full, rem)
+           k, n_full, rem, regen)
     fn = _RENDER_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1807,7 +2083,7 @@ def _get_stokes_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows,
                 film, nr = carry
                 accs, n_rays = pallas_film_trace(
                     bs, c, seed_i, k, tile_rows=tile_rows,
-                    interpret=interpret, stokes=True)
+                    interpret=interpret, stokes=True, regen=regen)
                 return (deposit(film, accs),
                         nr + jnp.sum(n_rays).astype(nr.dtype)), None
 
@@ -1819,7 +2095,8 @@ def _get_stokes_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows,
         if rem > 0:
             accs, n_rays = pallas_film_trace(
                 bs, c, seed0 + jnp.int32(n_full * k), rem,
-                tile_rows=tile_rows, interpret=interpret, stokes=True)
+                tile_rows=tile_rows, interpret=interpret, stokes=True,
+                regen=regen)
             film = deposit(film, accs)
             nr = nr + jnp.sum(n_rays).astype(nr.dtype)
 
@@ -1877,7 +2154,7 @@ def render_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         n_full, rem = divmod(spp, spp_per_pass)
         whole = _get_film_render_multi_fn(bs, cam_key, c, H, W, tile_rows,
                                           interpret, spp_per_pass, n_full,
-                                          rem)
+                                          rem, regen=_use_regen(bs))
         img, n_rays = whole(jnp.int32(seed * 100003))
         # Lazy count: a device-side sum, converted by callers via int().
         # device_get here would block on the ~35 ms tunnel round trip

@@ -123,7 +123,7 @@ def render_pallas_sharded(scene: Scene, spp=None, seed=0, mesh=None,
     def shard_fn(seeds_shard):
         accs, nr = pp.pallas_film_trace(
             bs, c, seeds_shard[0, 0], k, tile_rows=tile_rows,
-            interpret=interpret,
+            interpret=interpret, regen=pp._use_regen(bs),
         )
 
         def img2(p):
@@ -212,7 +212,7 @@ def render_stokes_pallas_sharded(scene: Scene, spp=None, seed=0, mesh=None,
         def shard_fn_film(seeds_shard):
             accs, nr = pp.pallas_film_trace(
                 bs, c, seeds_shard[0, 0], k, tile_rows=tile_rows,
-                interpret=interpret, stokes=True,
+                interpret=interpret, stokes=True, regen=pp._use_regen(bs),
             )
 
             def img2(p):
