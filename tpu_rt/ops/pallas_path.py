@@ -64,8 +64,12 @@ INTERPRET = False
 # unrolled; "regen" = persistent while_loop with per-lane sample
 # regeneration (identical output — see _regen_loop); "auto" picks regen
 # for deep scenes where the reclaimed dead-lane tail outweighs the loop
-# overhead (measured crossover ~depth 8 on v5e).  Env TPU_RT_REGEN
-# overrides: 1/0/auto.
+# overhead.  Measured (cbox 512^2 spp 256, v5e, tools/bench_regen.py +
+# sweep): regen wall time is FLAT in max_depth (~294-308 ms, it runs at
+# actual path length) while unroll scales linearly — d=6 225/276 ms
+# (unroll wins), d=8 301/294 (break-even), d=10 1.23x, d=12 1.46x,
+# d=16 1.90x in regen's favor; outputs bit-identical on hardware.
+# Env TPU_RT_REGEN overrides: 1/0/auto.
 REGEN_MODE = os.environ.get("TPU_RT_REGEN", "auto")
 _REGEN_AUTO_DEPTH = 8
 
@@ -79,10 +83,15 @@ def _use_regen(bs) -> bool:
 
 
 # Per-sample kernels (gaussian-filter / textured-env / Stokes scenes): a
-# depth while_loop with tile-wide early exit replaces the unrolled bounce
-# chain on deep scenes (identical output; see _trace_sample).  Env
-# TPU_RT_EARLY_EXIT overrides: 1/0/auto.
-EARLY_EXIT_MODE = os.environ.get("TPU_RT_EARLY_EXIT", "auto")
+# depth while_loop with TILE-wide early exit can replace the unrolled
+# bounce chain (identical output; see _trace_sample).  Measured SLOWER on
+# the cbox_pol headline (79.5 -> 84.0 ms at 256^2 spp 64, v5e): RR
+# survival caps at 0.95 so a whole 2048-lane tile is rarely dead before
+# depth 16, and the loop form loses scheduling slack — default OFF.  It
+# still compiles the bounce body once instead of max_depth times; env
+# TPU_RT_EARLY_EXIT=1 opts in when cold-compile time matters more than
+# the ~6% run cost.
+EARLY_EXIT_MODE = os.environ.get("TPU_RT_EARLY_EXIT", "0")
 
 
 def _use_early_exit(bs) -> bool:
@@ -706,19 +715,32 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None,
         # rng draws they skip are never read).  Compile also drops from
         # max_depth copies of the bounce to one.
         leaves0, treedef = jax.tree_util.tree_flatten(st)
+        isbool = [l.dtype == jnp.bool_ for l in leaves0]
+
+        # bools cross the while boundary as f32 0/1 (Mosaic cannot
+        # legalize i1 vector loop carries)
+        def pack(leaves):
+            return [jnp.where(l, 1.0, 0.0) if b else l
+                    for l, b in zip(leaves, isbool)]
+
+        def unpack(leaves):
+            return [(l > 0.5) if b else l for l, b in zip(leaves, isbool)]
 
         def cond(c):
-            st_c = jax.tree_util.tree_unflatten(treedef, list(c[1:]))
+            st_c = jax.tree_util.tree_unflatten(treedef,
+                                                unpack(list(c[1:])))
             alive = jnp.max(jnp.where(st_c["active"], 1.0, 0.0)) > 0.0
             return (c[0] < bs.max_depth) & alive
 
         def body(c):
-            st_c = jax.tree_util.tree_unflatten(treedef, list(c[1:]))
+            st_c = jax.tree_util.tree_unflatten(treedef,
+                                                unpack(list(c[1:])))
             st_c = step(c[0], st_c)
-            return (c[0] + 1, *jax.tree_util.tree_leaves(st_c))
+            return (c[0] + 1, *pack(jax.tree_util.tree_leaves(st_c)))
 
-        final = jax.lax.while_loop(cond, body, (jnp.int32(0), *leaves0))
-        st = jax.tree_util.tree_unflatten(treedef, list(final[1:]))
+        final = jax.lax.while_loop(cond, body,
+                                   (jnp.int32(0), *pack(leaves0)))
+        st = jax.tree_util.tree_unflatten(treedef, unpack(list(final[1:])))
     else:
         for depth in range(bs.max_depth):
             st = step(depth, st)
@@ -1482,9 +1504,10 @@ def _regen_loop(bs, raygen, stokes, seed_ref, pid, shape, n_samples, n_acc,
     the two program shapes (measured max rel diff 2.5e-7; ray counts
     exact — tests assert both).
 
-    Bool state planes are carried as the bools themselves (single-vreg
-    (8,128) masks lower fine — the multi-vreg boolean-carry Mosaic crash
-    was at tm=32); merges between bool planes use logic ops, never select.
+    Bool state planes cross the while-loop boundary as f32 0/1 (Mosaic
+    fails to legalize scf.yield with i1 vector carries — measured on v5e,
+    same class as the tm=32 multi-vreg bool-carry crash); inside the body
+    merges between bool planes use logic ops, never select.
     """
     zeros = jnp.zeros(shape, jnp.float32)
     nsf = float(n_samples)
@@ -1507,6 +1530,15 @@ def _regen_loop(bs, raygen, stokes, seed_ref, pid, shape, n_samples, n_acc,
 
     st0, jx0, jy0 = make_state(zeros)
     leaves0, treedef = jax.tree_util.tree_flatten(st0)
+    isbool = [l.dtype == jnp.bool_ for l in leaves0]
+
+    def pack(leaves):
+        return [jnp.where(l, 1.0, 0.0) if b else l
+                for l, b in zip(leaves, isbool)]
+
+    def unpack(leaves):
+        return [(l > 0.5) if b else l for l, b in zip(leaves, isbool)]
+
     n_fixed = 4 + n_acc + 1
 
     def cond(c):
@@ -1516,7 +1548,8 @@ def _regen_loop(bs, raygen, stokes, seed_ref, pid, shape, n_samples, n_acc,
     def body(c):
         si, depth, jx, jy = c[:4]
         acc = list(c[4:n_fixed])
-        st = jax.tree_util.tree_unflatten(treedef, list(c[n_fixed:]))
+        st = jax.tree_util.tree_unflatten(treedef,
+                                          unpack(list(c[n_fixed:])))
         st = step(depth, st)
         depth = depth + 1.0
         done = (~st["active"]) | (depth >= max_d)
@@ -1533,10 +1566,11 @@ def _regen_loop(bs, raygen, stokes, seed_ref, pid, shape, n_samples, n_acc,
         depth = jnp.where(regen, 0.0, depth)
         jx = jnp.where(regen, jxn, jx)
         jy = jnp.where(regen, jyn, jy)
-        leaves = jax.tree_util.tree_leaves(st)
+        leaves = pack(jax.tree_util.tree_leaves(st))
         return (si, depth, jx, jy, *acc, *leaves)
 
-    init = (zeros, zeros, jx0, jy0) + (zeros,) * (n_acc + 1) + tuple(leaves0)
+    init = (zeros, zeros, jx0, jy0) + (zeros,) * (n_acc + 1) \
+        + tuple(pack(leaves0))
     final = jax.lax.while_loop(cond, body, init)
     return final[4:n_fixed]
 
