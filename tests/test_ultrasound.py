@@ -332,3 +332,36 @@ def test_convex_probe_das_localizes_point_target():
         das_beamform(ch, angles, pos[:, 0], fs, c, x_grid, z_grid),
         axis=1)).max())
     assert peak_arc > 1.5 * peak_flat
+
+
+def test_das_matmul_window_autosize_under_jit():
+    """The matmul-DAS RF window must auto-size from the grid pitch EVEN
+    INSIDE jax.jit.  Regression: jnp-indexing the closed-over grid arrays
+    during tracing raised TracerArrayConversionError (a TypeError
+    subclass) that a bare except swallowed, silently leaving the window at
+    its floor and dropping every tap beyond it — jitted callers on grids
+    with delay spread > floor got wrong images (r3: the USMain-grid sweep
+    measured 72% rel error at 8x64 tiles)."""
+    import jax
+
+    from tpu_rt.us.beamform import das_beamform, das_beamform_matmul, grid_scan
+
+    fs, c = 50e6, 1540.0
+    A, E, T = 2, 8, 4000
+    rng = np.random.default_rng(3)
+    ch = rng.standard_normal((A, E, T)).astype(np.float32)
+    elem_x = ((np.arange(E, dtype=np.float32) - (E - 1) / 2) * 3e-4)
+    angles = np.asarray([-8.0, 8.0], np.float32)
+    # coarse pitch (lambda at 5 MHz): a 16x16 tile spans ~64 samples of
+    # delay spread per axis -> needed window ~ 648 >> the 128 floor
+    step = c / 5e6
+    xg, zg = grid_scan(-0.01, 0.01, 0.002, 0.03, step, step)
+
+    ref = np.asarray(das_beamform(ch, angles, elem_x, fs, c, xg, zg))
+    out = np.asarray(jax.jit(
+        lambda d: das_beamform_matmul(d, angles, elem_x, fs, c, xg, zg)
+    )(ch))
+    rel = np.sqrt(((out - ref) ** 2).mean()) / np.sqrt((ref ** 2).mean())
+    # ~1e-4 of f32/edge-tap noise remains between the two forms; the bug
+    # this guards against measures >1e-2 (window floor 128 vs needed 648)
+    assert rel < 5e-4, rel

@@ -73,15 +73,14 @@ def main():
 
     P = jax.lax.Precision
     for (tx, tz, prec, tag) in [
-        (8, 64, P.HIGHEST, "legacy 8x64 HIGHEST (r2 default)"),
-        (16, 16, P.HIGHEST, "16x16 HIGHEST"),
-        (8, 8, P.HIGHEST, "8x8 HIGHEST"),
-        (8, 16, P.HIGHEST, "8x16 HIGHEST"),
-        (16, 8, P.HIGHEST, "16x8 HIGHEST"),
-        (32, 32, P.HIGHEST, "32x32 HIGHEST"),
-        (16, 16, P.HIGH, "16x16 HIGH"),
-        (8, 8, P.HIGH, "8x8 HIGH"),
-        (8, 8, P.DEFAULT, "8x8 DEFAULT(bf16)"),
+        (8, 64, P.HIGHEST, "legacy 8x64 (r2 default)"),
+        (16, 16, P.HIGHEST, "16x16"),
+        (32, 32, P.HIGHEST, "32x32"),
+        (32, 64, P.HIGHEST, "32x64"),
+        (64, 32, P.HIGHEST, "64x32"),
+        (64, 64, P.HIGHEST, "64x64"),
+        (128, 64, P.HIGHEST, "128x64"),
+        (64, 128, P.HIGHEST, "64x128"),
     ]:
         run(f"matmul {tag}",
             lambda d, tx=tx, tz=tz, prec=prec: das_beamform_matmul(

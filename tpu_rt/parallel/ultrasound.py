@@ -145,7 +145,10 @@ def das_beamform_sharded(channel_data, angles_deg, elem_x, fs, c, x_grid,
         # sharded kernel runs the identical program per tile.
         import numpy as _np
 
-        TX, TZ = 8, 64
+        # The tile shape MUST match what the inner call uses (it is passed
+        # explicitly below): sizing for one shape and tiling with another
+        # under-sizes the window and silently drops taps.
+        TX, TZ = 64, 64
         dx = float(x_grid[1] - x_grid[0]) if Nx > 1 else 0.0
         dz = float(z_grid[1] - z_grid[0]) if z_grid.shape[0] > 1 else 0.0
         spread = (2.0 * TZ * abs(dz) + 2.0 * TX * abs(dx)) / c * fs
@@ -155,6 +158,7 @@ def das_beamform_sharded(channel_data, angles_deg, elem_x, fs, c, x_grid,
             return das_beamform_matmul(
                 channel_data, angles_deg, elem_x, fs, c, xg_shard, z_grid,
                 t_offset=t_offset, window=window, elem_z=elem_z,
+                tx=TX, tz=TZ,
             )
     else:
         def one(xg_shard):

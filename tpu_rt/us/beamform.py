@@ -144,7 +144,7 @@ def apply_pulse(channel_data, fs, f0, wave_cycles=5):
 
 def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
                         z_grid, t_offset=0.0, block=None, window=128,
-                        elem_z=None, tx=16, tz=16,
+                        elem_z=None, tx=64, tz=64,
                         precision=jax.lax.Precision.HIGHEST):
     """MXU-formulated DAS: random time-gathers (slow on TPU) become dense
     interpolation-weight matmuls over per-block RF windows.
@@ -156,14 +156,14 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
     window — work the MXU does at full rate.  Falls back assertion-free:
     windows are clamped into range and out-of-range pixels contribute 0.
 
-    The dominant cost is CONSTRUCTING the hat tensor (O(P*window) VPU ops
-    per angle x element pair), not the contraction, so ``window`` — which
-    scales with the block's delay spread ~ (tz*dz + tx*dx) — is the perf
-    lever: square-ish tiles minimize spread per pixel.  Measured on the
-    USMain 675k-pixel grid (tools/diag_das.py, v5e): legacy 8x64 tiles /
-    384-window 565 ms -> 16x16 tiles / 128-window is ~3x faster at
-    identical output (window only changes which RF slice the exact same
-    2 taps are read from).
+    Tile-shape sweep on the USMain 663k-pixel grid (tools/diag_das.py,
+    v5e, all outputs equal to the gather form at 1.7e-7): per-block
+    overhead (window slice + scan step) dominates over hat-tensor width,
+    so LARGER tiles win despite their wider windows — 8x8 2810 ms,
+    16x16 873, 8x64 564 (the r2 default), 32x32 402, 64x64 **348 ms**
+    (13.6x over the 4715 ms gather form).  The window auto-sizes from the
+    grid pitch to cover the tile's full delay spread; see the sizing note
+    below for why that must happen in host numpy.
     """
     channel_data = jnp.asarray(channel_data)
     elem_x = jnp.asarray(elem_x)
@@ -181,15 +181,25 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
         TX, TZ = 8, max(block // 8, 1)
     else:
         TX, TZ = tx, tz
-    # size the window from the actual grid pitch (grids are host constants)
-    try:
-        dx = float(x_grid[1] - x_grid[0]) if Nx > 1 else 0.0
-        dz = float(z_grid[1] - z_grid[0]) if Nz > 1 else 0.0
+    # Size the window from the actual grid pitch.  MUST read the grids via
+    # host numpy, NOT jnp indexing: under an outer jax.jit, ops on the
+    # closed-over (concrete) grid arrays produce tracers and float() then
+    # raises TracerArrayConversionError — a TypeError subclass that a bare
+    # try/except here used to swallow, silently leaving the window at its
+    # floor and DROPPING every tap beyond it (jitted callers on grids with
+    # delay spread > floor got wrong images; caught by
+    # tests/test_ultrasound.py::test_das_matmul_window_autosize_under_jit).
+    # np.asarray on a concrete jax array works even while tracing; only
+    # genuinely traced grids (passed as jit arguments) fall back to the
+    # caller-provided window.
+    if not isinstance(x_grid, jax.core.Tracer) and not isinstance(
+            z_grid, jax.core.Tracer):
+        xs, zs = np.asarray(x_grid), np.asarray(z_grid)
+        dx = float(xs[1] - xs[0]) if Nx > 1 else 0.0
+        dz = float(zs[1] - zs[0]) if Nz > 1 else 0.0
         spread = (2.0 * TZ * abs(dz) + 2.0 * TX * abs(dx)) / c * fs
         needed = int(np.ceil(spread)) + 8
         window = max(window, ((needed + 127) // 128) * 128)
-    except TypeError:
-        pass  # traced grids: trust the caller-provided window
     if window > T:
         # Short RF buffers (window sized from the grid's delay spread can
         # exceed T): zero-pad the time axis so the per-block dynamic_slice
