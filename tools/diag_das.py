@@ -73,14 +73,11 @@ def main():
 
     P = jax.lax.Precision
     for (tx, tz, prec, tag) in [
-        (8, 64, P.HIGHEST, "legacy 8x64 (r2 default)"),
+        (4, 4, P.HIGHEST, "4x4"),
+        (8, 4, P.HIGHEST, "8x4"),
+        (8, 8, P.HIGHEST, "8x8"),
+        (16, 8, P.HIGHEST, "16x8"),
         (16, 16, P.HIGHEST, "16x16"),
-        (32, 32, P.HIGHEST, "32x32"),
-        (32, 64, P.HIGHEST, "32x64"),
-        (64, 32, P.HIGHEST, "64x32"),
-        (64, 64, P.HIGHEST, "64x64"),
-        (128, 64, P.HIGHEST, "128x64"),
-        (64, 128, P.HIGHEST, "64x128"),
     ]:
         run(f"matmul {tag}",
             lambda d, tx=tx, tz=tz, prec=prec: das_beamform_matmul(

@@ -147,23 +147,30 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
                         elem_z=None, tx=64, tz=64,
                         precision=jax.lax.Precision.HIGHEST):
     """MXU-formulated DAS: random time-gathers (slow on TPU) become dense
-    interpolation-weight matmuls over per-block RF windows.
+    interpolation-weight contractions over per-block RF windows.
 
     Pixels are tiled into (tx, tz) blocks; within a block the delay
     spread is bounded, so each (angle, element, block) touches one
-    contiguous RF window of ``window`` samples.  The 2-tap linear interp
-    becomes a hat-function weight matrix (block, window) contracted with the
-    window — work the MXU does at full rate.  Falls back assertion-free:
-    windows are clamped into range and out-of-range pixels contribute 0.
+    contiguous RF window.  The 2-tap linear interp becomes a hat-function
+    weight matrix (block, window) contracted with the window, and the
+    per-pixel cost is O(window) VPU ops — the window size is the lever.
 
-    Tile-shape sweep on the USMain 663k-pixel grid (tools/diag_das.py,
-    v5e, all outputs equal to the gather form at 1.7e-7): per-block
-    overhead (window slice + scan step) dominates over hat-tensor width,
-    so LARGER tiles win despite their wider windows — 8x8 2810 ms,
-    16x16 873, 8x64 564 (the r2 default), 32x32 402, 64x64 **348 ms**
-    (13.6x over the 4715 ms gather form).  The window auto-sizes from the
-    grid pitch to cover the tile's full delay spread; see the sizing note
-    below for why that must happen in host numpy.
+    Window fetch: block window starts are quantized to Q=64-sample chunks
+    and ALL block windows for one (angle, element) are fetched with a
+    single one-hot GEMM  [n_blk, n_chunks] @ [n_chunks, window]  against a
+    strided-overlap view of the RF trace.  That GEMM is real MXU work
+    (K=n_chunks, N=window), replacing the per-block ``dynamic_slice``
+    whose per-block overhead used to force LARGE tiles (64x64, window
+    768): the r3 sweep measured 8x8 at 2810 ms purely from 3.3M vmapped
+    dynamic_slices.  With GEMM windows, small tiles win because the
+    per-pixel hat build shrinks with the tile's delay spread:
+    8x8/window-256 measures **93 ms** on the USMain 663k-pixel grid vs
+    348 ms for the r3 64x64/dynamic_slice form and 4715 ms for the gather
+    form (tools/diag_das.py, v5e, outputs equal to the gather form at
+    ~1e-7 rel).  Falls back assertion-free: windows are clamped into
+    range and out-of-range pixels contribute 0.  The window auto-sizes
+    from the grid pitch to cover the tile's full delay spread; see the
+    sizing note below for why that must happen in host numpy.
     """
     channel_data = jnp.asarray(channel_data)
     elem_x = jnp.asarray(elem_x)
@@ -200,13 +207,20 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
         spread = (2.0 * TZ * abs(dz) + 2.0 * TX * abs(dx)) / c * fs
         needed = int(np.ceil(spread)) + 8
         window = max(window, ((needed + 127) // 128) * 128)
-    if window > T:
-        # Short RF buffers (window sized from the grid's delay spread can
-        # exceed T): zero-pad the time axis so the per-block dynamic_slice
-        # stays in range — the in_rng mask already zeroes taps past T-1.
-        channel_data = jnp.concatenate(
-            [channel_data,
-             jnp.zeros((A, E, window - T), channel_data.dtype)], axis=2)
+    # Quantized window starts: Q must divide the window so the
+    # strided-overlap RF view below is built from aligned reshapes.
+    Q = 64
+    # The one-hot chunk selector can put the window start up to Q-1
+    # samples below the block's tightest start — widen the window by one
+    # chunk to keep every previously-valid tap in range (Q-multiple, not
+    # 128: the hat build is O(P * window) VPU work and the extra 64 taps
+    # of a 128-rounding cost ~25% at the 16x8 default).
+    window = ((window + Q + Q - 1) // Q) * Q
+    n_chunks = (max(T - 1, 0) // Q) + 1  # rows cover every start s <= T-1
+    L = (n_chunks - 1) * Q + window
+    channel_data = jnp.concatenate(
+        [channel_data, jnp.zeros((A, E, L - T), channel_data.dtype)],
+        axis=2)
     pad_x = (-Nx) % TX
     pad_z = (-Nz) % TZ
     # Pad with a FAR point (not 0: x=0 is a real mid-aperture position whose
@@ -242,17 +256,28 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
             t_f = (t_tx + t_rx - t_offset) * fs  # [n_blk, block]
             s = jnp.clip(
                 jnp.floor(jnp.min(t_f, axis=1)).astype(jnp.int32),
-                0, max(T - window, 0),
+                0, T - 1,
             )  # [n_blk]
-            rel = t_f - s[:, None].astype(jnp.float32)  # [n_blk, block]
+            sq = s // Q  # quantized chunk row, start = sq * Q <= s
+            rel = t_f - (sq * Q)[:, None].astype(jnp.float32)
+            in_rng = (t_f >= 0.0) & (t_f <= T - 1) & (rel <= window - 1)
+            # Fold the validity mask into rel (hat support is [-1, 1], so
+            # rel = -2 zeroes every tap) instead of a per-tap select.
+            rel = jnp.where(in_rng, rel, -2.0)
+            rf = channel_data[a_idx, e_idx]  # [L], zero-padded past T
+            # Strided-overlap view: rows[r, j] = rf[r*Q + j], j < window.
+            rows = jnp.concatenate(
+                [jax.lax.dynamic_slice(rf, (j * Q,), (n_chunks * Q,))
+                 .reshape(n_chunks, Q) for j in range(window // Q)],
+                axis=1)  # [n_chunks, window]
+            onehot = (sq[:, None] ==
+                      jnp.arange(n_chunks)[None, :]).astype(jnp.float32)
+            # Exact selection (0/1 weights): one MXU GEMM fetches every
+            # block's window at once.
+            wins = jnp.einsum("nc,cw->nw", onehot, rows,
+                              precision=precision)  # [n_blk, window]
             # hat weights: w[p, k] = max(0, 1 - |rel[p] - k|); zero outside
             w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, :, None] - iota_w))
-            in_rng = (t_f >= 0.0) & (t_f <= T - 1) & (rel <= window - 1)
-            w = jnp.where(in_rng[:, :, None], w, 0.0)
-            rf = channel_data[a_idx, e_idx]
-            wins = jax.vmap(
-                lambda st: jax.lax.dynamic_slice(rf, (st,), (window,))
-            )(s)  # [n_blk, window]
             vals = jnp.einsum("nbw,nw->nb", w, wins, precision=precision)
             return acc_e + vals, None
 
