@@ -237,6 +237,39 @@ def test_das_matmul_matches_gather():
     assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-9) < 1e-3
 
 
+def test_das_matmul_short_rf_buffer():
+    """window > T regression (advisor r3): the matmul form zero-pads the
+    time axis up to the strided-overlap view length; pixels whose taps are
+    fully in range must still match the gather form exactly.  (Pixels with
+    taps beyond T-1 differ by design: matmul masks the whole 2-tap interp,
+    gather keeps the single in-range tap — compare only where both are
+    exact.)"""
+    import jax
+
+    from tpu_rt.us.beamform import das_beamform, das_beamform_matmul, grid_scan
+
+    A, E, T = 2, 8, 90  # T far below the 128+ minimum window
+    fs, c = 50e6, 1540.0
+    ch = jax.random.normal(jax.random.PRNGKey(1), (A, E, T))
+    angles = np.linspace(-5, 5, A).astype(np.float32)
+    elem_x = 0.0004 * (np.arange(E) - (E - 1) / 2)
+    xg, zg = grid_scan(-0.002, 0.002, 0.0002, 0.0016, 2e-4, 1e-4)
+    a = np.asarray(das_beamform(ch, angles, elem_x, fs, c, xg, zg))
+    b = np.asarray(das_beamform_matmul(ch, angles, elem_x, fs, c, xg, zg))
+    # in-range mask: every (angle, element) tap of the pixel has i0+1 <= T-1
+    X, Z = np.meshgrid(np.asarray(xg), np.asarray(zg), indexing="ij")
+    t_max = np.zeros_like(X)
+    for ang in np.deg2rad(angles):
+        for ex in np.asarray(elem_x):
+            t_f = ((X * np.sin(ang) + Z * np.cos(ang)) / c
+                   + np.sqrt((X - ex) ** 2 + Z ** 2) / c) * fs
+            t_max = np.maximum(t_max, t_f)
+    exact = t_max <= T - 2
+    assert exact.sum() >= 50  # the test must actually cover pixels
+    scale = max(np.abs(a[exact]).max(), 1e-9)
+    assert np.abs(a[exact] - b[exact]).max() / scale < 1e-3
+
+
 def test_convex_array_acquisition():
     """Finite sensor radius places elements on a convex arc (CustomEmmitter
     convex support extended to the acquisition path); plane-wave delays

@@ -68,21 +68,62 @@ def main():
         print(f"{label:42s} {ms:8.1f} ms   rel-rmse vs gather {rel:.2e}",
               flush=True)
 
-    run("gather (reference form)",
-        lambda d: das_beamform(d, angles, elem_x, FS, C, xg, zg))
+    do_sweep = os.environ.get("DIAG_DAS_SWEEP", "1") == "1"
+    do_slope = os.environ.get("DIAG_DAS_SLOPE", "1") == "1"
+
+    if do_sweep:
+        run("gather (reference form)",
+            lambda d: das_beamform(d, angles, elem_x, FS, C, xg, zg))
 
     P = jax.lax.Precision
-    for (tx, tz, prec, tag) in [
+    for (tx, tz, prec, tag) in ([] if not do_sweep else [
         (4, 4, P.HIGHEST, "4x4"),
         (8, 4, P.HIGHEST, "8x4"),
         (8, 8, P.HIGHEST, "8x8"),
         (16, 8, P.HIGHEST, "16x8"),
         (16, 16, P.HIGHEST, "16x16"),
-    ]:
+        (8, 64, P.HIGHEST, "8x64 (legacy r3 block)"),
+        (64, 64, P.HIGHEST, "64x64 (r3 default)"),
+    ]):
         run(f"matmul {tag}",
             lambda d, tx=tx, tz=tz, prec=prec: das_beamform_matmul(
                 d, angles, elem_x, FS, C, xg, zg, tx=tx, tz=tz,
                 precision=prec))
+
+    if not do_slope:
+        return
+
+    # ---- dispatch-vs-kernel slope on the default config -------------------
+    # Chained-scan timing (CLAUDE.md r2 facts): scan the beamformer N times
+    # with a data dependency; slope = (t_N - t_1)/(N-1) is the pure kernel
+    # cost, intercept ~= the tunnel's per-dispatch overhead.
+    def chained(n):
+        def fn(d):
+            def body(c, _):
+                out = das_beamform_matmul(c, angles, elem_x, FS, C, xg, zg)
+                # scalar data dependency feeds the next iteration
+                return c + 0.0 * out.sum(), None
+            c, _ = jax.lax.scan(body, d, None, length=n)
+            return c
+        f = jax.jit(fn)
+        jax.block_until_ready(f(ch))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(ch))
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[2]
+
+    t1, t5 = chained(1), chained(5)
+    slope = (t5 - t1) / 4.0
+    print(f"default-config slope: t1 {t1*1e3:.1f} ms  t5 {t5*1e3:.1f} ms  "
+          f"kernel {slope*1e3:.1f} ms/iter  dispatch ~{(t1-slope)*1e3:.1f} ms",
+          flush=True)
+    # Arithmetic for the roofline note: hat build + contraction dominate.
+    nbx = -(-xg.shape[0] // 8) * -(-zg.shape[0] // 8)
+    flops = A * E * nbx * 64 * 192 * 5  # [n_blk*block*window] * ~5 VPU ops
+    print(f"~{flops/1e9:.0f} GFLOP VPU-equivalent -> "
+          f"{flops/slope/1e12:.2f} TFLOP/s effective", flush=True)
 
 
 if __name__ == "__main__":

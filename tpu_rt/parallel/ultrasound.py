@@ -147,8 +147,10 @@ def das_beamform_sharded(channel_data, angles_deg, elem_x, fs, c, x_grid,
 
         # The tile shape MUST match what the inner call uses (it is passed
         # explicitly below): sizing for one shape and tiling with another
-        # under-sizes the window and silently drops taps.
-        TX, TZ = 64, 64
+        # under-sizes the window and silently drops taps.  8x8 is the
+        # measured-best tile under the one-hot GEMM window fetch
+        # (tools/diag_das.py: 113 ms vs 309 ms at the old 64x64).
+        TX, TZ = 8, 8
         dx = float(x_grid[1] - x_grid[0]) if Nx > 1 else 0.0
         dz = float(z_grid[1] - z_grid[0]) if z_grid.shape[0] > 1 else 0.0
         spread = (2.0 * TZ * abs(dz) + 2.0 * TX * abs(dx)) / c * fs

@@ -144,7 +144,7 @@ def apply_pulse(channel_data, fs, f0, wave_cycles=5):
 
 def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
                         z_grid, t_offset=0.0, block=None, window=128,
-                        elem_z=None, tx=64, tz=64,
+                        elem_z=None, tx=8, tz=8,
                         precision=jax.lax.Precision.HIGHEST):
     """MXU-formulated DAS: random time-gathers (slow on TPU) become dense
     interpolation-weight contractions over per-block RF windows.
@@ -163,11 +163,12 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
     whose per-block overhead used to force LARGE tiles (64x64, window
     768): the r3 sweep measured 8x8 at 2810 ms purely from 3.3M vmapped
     dynamic_slices.  With GEMM windows, small tiles win because the
-    per-pixel hat build shrinks with the tile's delay spread:
-    8x8/window-256 measures **93 ms** on the USMain 663k-pixel grid vs
-    348 ms for the r3 64x64/dynamic_slice form and 4715 ms for the gather
-    form (tools/diag_das.py, v5e, outputs equal to the gather form at
-    ~1e-7 rel).  Falls back assertion-free: windows are clamped into
+    per-pixel hat build shrinks with the tile's delay spread: the default
+    8x8 tile measures **113 ms** on the USMain 663k-pixel grid (8x4
+    112.9 ms, 4x4 121 ms, old 64x64 default 309 ms, gather form 4718 ms —
+    tools/diag_das.py median-of-5, v5e, HIGHEST-precision window fetch,
+    outputs equal to the gather form at ~1e-7 rel).  Falls back
+    assertion-free: windows are clamped into
     range and out-of-range pixels contribute 0.  The window auto-sizes
     from the grid pitch to cover the tile's full delay spread; see the
     sizing note below for why that must happen in host numpy.
@@ -214,7 +215,7 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
     # samples below the block's tightest start — widen the window by one
     # chunk to keep every previously-valid tap in range (Q-multiple, not
     # 128: the hat build is O(P * window) VPU work and the extra 64 taps
-    # of a 128-rounding cost ~25% at the 16x8 default).
+    # of a 128-rounding would cost ~25% at the default tile size).
     window = ((window + Q + Q - 1) // Q) * Q
     n_chunks = (max(T - 1, 0) // Q) + 1  # rows cover every start s <= T-1
     L = (n_chunks - 1) * Q + window
@@ -273,9 +274,14 @@ def das_beamform_matmul(channel_data, angles_deg, elem_x, fs, c, x_grid,
             onehot = (sq[:, None] ==
                       jnp.arange(n_chunks)[None, :]).astype(jnp.float32)
             # Exact selection (0/1 weights): one MXU GEMM fetches every
-            # block's window at once.
+            # block's window at once.  Precision is pinned to HIGHEST
+            # regardless of the caller's choice: anything lower quantizes
+            # the RF trace itself to bf16 on the MXU, breaking the "exact
+            # selection" invariant (the caller's precision only governs the
+            # hat-weight contraction below, where it is a genuine
+            # accuracy/speed trade).
             wins = jnp.einsum("nc,cw->nw", onehot, rows,
-                              precision=precision)  # [n_blk, window]
+                              precision=jax.lax.Precision.HIGHEST)
             # hat weights: w[p, k] = max(0, 1 - |rel[p] - k|); zero outside
             w = jnp.maximum(0.0, 1.0 - jnp.abs(rel[:, :, None] - iota_w))
             vals = jnp.einsum("nbw,nw->nb", w, wins, precision=precision)
