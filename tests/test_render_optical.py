@@ -179,3 +179,92 @@ def test_cone_cylinder_hits():
     si2 = trace.ray_intersect(scene2, o2, d)
     assert bool(si2.valid[0])
     np.testing.assert_allclose(np.asarray(si2.t)[0], 2.5, rtol=1e-4)  # radius 0.5 at z=0.5
+
+
+def _clip_scene(near=None, far=None, pixel_format=None, emitter_z=2.0,
+                blocker=True):
+    """Camera at z=-3 looking +z; area emitter at z=+2 facing the camera,
+    with an optional black blocker rectangle at z=0 (hit t ~= 3)."""
+    sensor = {
+        "type": "perspective",
+        "fov": 30,
+        "to_world": tpu_rt.ScalarTransform4f().look_at(
+            origin=[0, 0, -3], target=[0, 0, 1], up=[0, 1, 0]
+        ),
+        "film": {"type": "hdrfilm", "width": 16, "height": 16,
+                 "rfilter": {"type": "box"}},
+        "sampler": {"type": "independent", "sample_count": 4},
+    }
+    if near is not None:
+        sensor["near_clip"] = near
+    if far is not None:
+        sensor["far_clip"] = far
+    if pixel_format is not None:
+        sensor["film"]["pixel_format"] = pixel_format
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": sensor,
+        "light": {
+            "type": "rectangle",
+            # facing -z toward the camera (rectangle normal is +z; rotate)
+            "to_world": tpu_rt.ScalarTransform4f().translate([0, 0, emitter_z])
+            @ tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+            @ tpu_rt.ScalarTransform4f().scale([3, 3, 1]),
+            "emitter": {"type": "area", "radiance": np.ones(3)},
+        },
+    }
+    if blocker:
+        d["blocker"] = {
+            "type": "rectangle",
+            "to_world": tpu_rt.ScalarTransform4f().rotate([0, 1, 0], 180)
+            @ tpu_rt.ScalarTransform4f().scale([3, 3, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": np.zeros(3)},
+        }
+    return tpu_rt.load_dict(d)
+
+
+def test_camera_clip_propagation(ref_scenes):
+    """cbox.xml near/far clip values must reach the Camera
+    (/root/reference/scenes/cbox.xml:13-14)."""
+    scene = tpu_rt.load_file(os.path.join(ref_scenes, "cbox.xml"), res=16)
+    assert abs(float(scene.camera.near) - 0.001) < 1e-9
+    assert abs(float(scene.camera.far) - 100.0) < 1e-6
+
+
+def test_near_far_clip_are_ray_extents():
+    """Mitsuba ray.mint/maxt semantics: a blocker nearer than near_clip is
+    skipped (the emitter behind it shows); geometry beyond far_clip is
+    missed.  Runs both the public render path (Pallas megakernel in
+    interpret mode under the CPU conftest) and the XLA wavefront tracer."""
+    mid = np.asarray(tpu_rt.render(_clip_scene(), spp=4))[6:10, 6:10]
+    assert mid.mean() < 0.05  # black blocker fills the view
+
+    # near clip beyond the blocker (t ~= 3 at image center): emitter shows
+    bright = np.asarray(tpu_rt.render(_clip_scene(near=4.0), spp=4))[6:10, 6:10]
+    assert bright.mean() > 0.9
+
+    # far clip in front of everything: pure miss -> black
+    dark = np.asarray(tpu_rt.render(
+        _clip_scene(blocker=False, far=2.0), spp=4))[6:10, 6:10]
+    assert dark.max() < 1e-6
+
+    # XLA wavefront tracer honors the same extents
+    from tpu_rt.integrator.path import render as render_xla
+
+    bright2 = np.asarray(render_xla(_clip_scene(near=4.0), spp=4))[6:10, 6:10]
+    assert bright2.mean() > 0.9
+
+
+def test_luminance_pixel_format():
+    """hdrfilm pixel_format=luminance returns (H, W, 1) equal to the BT.709
+    luminance of the RGB render (/root/reference/USMain.py:62)."""
+    from tpu_rt.core.math import luminance
+
+    rgb = np.asarray(tpu_rt.render(_clip_scene(near=4.0), spp=4, seed=3))
+    mono = np.asarray(tpu_rt.render(
+        _clip_scene(near=4.0, pixel_format="luminance"), spp=4, seed=3))
+    assert mono.shape == rgb.shape[:2] + (1,)
+    np.testing.assert_allclose(
+        mono[..., 0], np.asarray(luminance(jnp.asarray(rgb))), rtol=1e-5,
+        atol=1e-7)

@@ -10,12 +10,25 @@ from tpu_rt.scene.types import (
 )
 
 
+def _finalize(scene: Scene, img):
+    """Develop-time pixel-format conversion: hdrfilm pixel_format =
+    "luminance" (reference US film XMLs, /root/reference/USMain.py:62)
+    collapses RGB to a single ITU-R BT.709 luminance channel (H, W, 1)."""
+    cam = scene.camera
+    if (cam is not None and getattr(cam, "pixel_format", "rgb") == "luminance"
+            and img.ndim == 3 and img.shape[-1] == 3):
+        from tpu_rt.core.math import luminance
+
+        return luminance(img)[..., None]
+    return img
+
+
 def render(scene: Scene, spp=None, seed=0, **kwargs):
     """Render a scene with its configured integrator (mi.render equivalent).
 
     Optical integrators return an (H, W, 3) image ((H, W, 4, 3) Stokes for
-    the stokes wrapper); the ultrasound integrator returns the B-mode
-    display image.
+    the stokes wrapper; (H, W, 1) when hdrfilm requests luminance); the
+    ultrasound integrator returns the B-mode display image.
     """
     if scene.integrator == INTEGRATOR_DIRECT_PROJECTIVE:
         # Mitsuba's direct_projective (shadow_art.xml:10) differs from
@@ -43,9 +56,9 @@ def render(scene: Scene, spp=None, seed=0, **kwargs):
             if pallas_path.available():
                 baked = pallas_path.bake_scene(scene)
                 if baked is not None:
-                    return pallas_path.render_pallas(
+                    return _finalize(scene, pallas_path.render_pallas(
                         scene, spp=spp, seed=seed, baked=baked, **kwargs
-                    )
+                    ))
         if scene.integrator == INTEGRATOR_DIRECT and not kwargs:
             # Fused direct-illumination mesh megakernel (trace + shade +
             # shadow rays on-core) when the scene is in scope and a Pallas
@@ -56,10 +69,11 @@ def render(scene: Scene, spp=None, seed=0, **kwargs):
             if _pallas_mesh_available(scene.geometry):
                 baked = pallas_mesh.bake_direct_scene(scene)
                 if baked is not None:
-                    return pallas_mesh.mesh_direct_render(
+                    return _finalize(scene, pallas_mesh.mesh_direct_render(
                         scene, spp=spp, seed=seed, baked=baked
-                    )
-        return render_path(scene, spp=spp, seed=seed, max_depth=max_depth, **kwargs)
+                    ))
+        return _finalize(scene, render_path(
+            scene, spp=spp, seed=seed, max_depth=max_depth, **kwargs))
     if scene.integrator == INTEGRATOR_STOKES:
         from tpu_rt.integrator.stokes import render_stokes
 

@@ -38,13 +38,38 @@ def _resolved_depth(scene: Scene, max_depth=None):
 
 
 def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
-               return_occupancy=False):
+               return_occupancy=False, tmin0=None, tmax0=None,
+               shadow_geom=None, soft_curves=None):
     """Trace paths for rays (o, d) [N, 3]; returns (L [N, 3], n_rays)
     (+ per-bounce active-lane counts when ``return_occupancy``).
 
     ``max_depth`` counts path vertices like Mitsuba: max_depth=1 sees only
     directly visible emitters, 2 = direct illumination, etc.
+
+    ``tmin0``/``tmax0`` ([N] or scalar) clip the PRIMARY ray's hit range —
+    the camera near/far planes (Mitsuba applies near_clip/far_clip to
+    camera rays only; secondary rays keep [eps, inf)).  Hits beyond tmax0
+    count as misses (the environment shows through, like Mitsuba's maxt).
+
+    The near plane is applied by STARTING the ray at o + tmin0*d (the
+    nearest hit must be searched within [near, far] — gating the global
+    nearest hit would kill rays whose first intersection lies before the
+    near plane instead of continuing past it).  Hit points are unchanged
+    (o' + t'd = o + (tmin0+t')d) and depth-0 MIS never reads t
+    (prev_delta = 1), so the estimator is exact.
+
+    ``shadow_geom``/``soft_curves`` enable the differentiable
+    soft-curve-shadow estimator (integrator/projective.py — Mitsuba
+    direct_projective's visibility derivatives): NEE occlusion tests run
+    against ``shadow_geom`` (curve prims displaced out) and the NEE
+    contribution is scaled by the smooth curve visibility factor.
     """
+    if tmin0 is not None:
+        tm = jnp.asarray(tmin0, jnp.float32)
+        o = o + (tm[..., None] if tm.ndim else tm) * d
+        if tmax0 is not None:
+            tmax0 = tmax0 - tmin0
+        tmin0 = None
     n = o.shape[0]
     depth_cap = _resolved_depth(scene, max_depth)
     # When no emitter is hittable (point lights only — e.g. simple.xml),
@@ -74,6 +99,16 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
         L, thr = state["L"], state["thr"]
 
         si = trace.ray_intersect(scene, o, d)
+        if tmax0 is not None:
+            # Camera far plane applies to the primary segment only; the
+            # where(depth == 0, ...) keeps one compiled bounce body.  A
+            # primary hit beyond maxt is a miss (env shows through).
+            in_clip = si.t <= jnp.where(depth == 0, tmax0, trace.INF)
+            si = si.replace(
+                valid=si.valid & in_clip,
+                t=jnp.where(in_clip, si.t, trace.INF),
+                shape=jnp.where(in_clip, si.shape, -1),
+            )
         hit = si.valid & active
         escaped = ~si.valid & active
         n_rays = state["n_rays"] + jnp.sum(active.astype(jnp.int32))
@@ -133,15 +168,25 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
                 present=scene.bsdf_types_present or None,
             )
             shadow_o = si.spawn_origin(ds.d)
+            sgeom = scene.geometry if shadow_geom is None else shadow_geom
             occluded = trace.ray_test(
-                scene.geometry, shadow_o, ds.d, tmin=trace.RAY_EPS, tmax=ds.dist * (1.0 - 1e-3)
+                sgeom, shadow_o, ds.d, tmin=trace.RAY_EPS, tmax=ds.dist * (1.0 - 1e-3)
             )
             vis = nee_possible & ~occluded
             w_nee = jnp.where(
                 ds.delta, 1.0, mis_power_heuristic(ds.pdf, pdf_bsdf_nee)
             )
             contrib = thr * f_nee * ds.radiance * (w_nee / jnp.maximum(ds.pdf, 1e-20))[:, None]
-            L = L + jnp.where(vis[:, None], contrib, 0.0)
+            contrib = jnp.where(vis[:, None], contrib, 0.0)
+            if soft_curves is not None:
+                from tpu_rt.integrator import projective as _proj
+
+                v_soft = _proj.curve_soft_visibility(
+                    soft_curves, shadow_o, ds.d, ds.dist * (1.0 - 1e-3),
+                    soft_curves["width"],
+                )
+                contrib = contrib * v_soft[:, None]
+            L = L + contrib
 
         # ---- BSDF sampling & bounce ---------------------------------------------
         bs = bsdf.sample(b_type, b_params, wi_local, s_all[:, 4], s_all[:, 5:7],
@@ -215,8 +260,9 @@ def render_sample_batch(scene: Scene, key, max_depth=None):
     k_jit, k_path = jax.random.split(key)
     jitter = jax.random.uniform(k_jit, (H * W, 2))
     film_xy = xy_int.astype(jnp.float32) + jitter
-    o, d = cam.sample_ray(c, film_xy)
-    L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth)
+    o, d, t0, t1 = cam.sample_ray_extents(c, film_xy)
+    L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth,
+                           tmin0=t0, tmax0=t1)
     return film_xy, L, n_rays
 
 
@@ -242,8 +288,9 @@ def _render_passes(scene, film_vals, film_wts, keys, perm, inv_perm,
         film_xy = xy_int + jitter
         if use_tiles:
             film_xy = film_xy[perm]
-        o, d = cam.sample_ray(c, film_xy)
-        L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth)
+        o, d, t0, t1 = cam.sample_ray_extents(c, film_xy)
+        L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth,
+                               tmin0=t0, tmax0=t1)
         if use_tiles:
             L = L[inv_perm]
         ok = jnp.all(jnp.isfinite(L), axis=-1)

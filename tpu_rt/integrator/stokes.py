@@ -134,9 +134,10 @@ def _stokes_passes(scene, film_vals, film_wts, keys, max_depth,
         fv, fw = carry
         k_jit, k_path = jax.random.split(key)
         jitter = jax.random.uniform(k_jit, (H * W, 2))
-        o, d = cam.sample_ray(c, xy_int + jitter)
+        o, d, t0, t1 = cam.sample_ray_extents(c, xy_int + jitter)
         S = stokes_trace(scene, o, d, k_path, max_depth=max_depth,
-                         has_polarizer=has_polarizer)  # [N, 4, 3]
+                         has_polarizer=has_polarizer,
+                         tmin0=t0, tmax0=t1)  # [N, 4, 3]
         ok = jnp.all(jnp.isfinite(S), axis=(-2, -1))
         S = jnp.where(ok[:, None, None], S, 0.0).reshape(-1, 12)
         # pixel-aligned sample pattern -> scatter-free dense splat
@@ -192,9 +193,20 @@ def render_stokes(scene: Scene, spp=None, seed=0, max_depth=None,
 
 
 def stokes_trace(scene: Scene, o, d, key, max_depth=None,
-                 has_polarizer=None):
+                 has_polarizer=None, tmin0=None, tmax0=None):
     """Returns Stokes radiance [N, 4, 3] for rays (o, d), in the basis of the
-    camera's horizontal axis projected perpendicular to each ray."""
+    camera's horizontal axis projected perpendicular to each ray.
+
+    ``tmin0``/``tmax0`` clip the PRIMARY segment (camera near/far planes,
+    Mitsuba ray.mint/maxt semantics — the near plane offsets the ray
+    origin so the nearest-hit search starts AT the plane; see
+    integrator/path.py)."""
+    if tmin0 is not None:
+        tm = jnp.asarray(tmin0, jnp.float32)
+        o = o + (tm[..., None] if tm.ndim else tm) * d
+        if tmax0 is not None:
+            tmax0 = tmax0 - tmin0
+        tmin0 = None
     n = o.shape[0]
     depth_cap = scene.max_depth if max_depth is None else max_depth
     if depth_cap is None or depth_cap < 0:
@@ -265,6 +277,15 @@ def stokes_trace(scene: Scene, o, d, key, max_depth=None,
         S, T, basis = state["S"], state["T"], state["basis"]
 
         si = trace.ray_intersect(scene, o, d)
+        if tmax0 is not None:
+            # far plane gates the primary segment only (near is an origin
+            # offset above)
+            in_clip = si.t <= jnp.where(depth == 0, tmax0, trace.INF)
+            si = si.replace(
+                valid=si.valid & in_clip,
+                t=jnp.where(in_clip, si.t, trace.INF),
+                shape=jnp.where(in_clip, si.shape, -1),
+            )
         hit = si.valid & active
         escaped = ~si.valid & active
 

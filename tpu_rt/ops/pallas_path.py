@@ -603,9 +603,31 @@ def _mueller_chain(T, basis, p_B, p_A, M6):
     return T_new, basis_new
 
 
+def _make_raygen(camera, n_pix):
+    """Kernel camera constants (shared by every raygen kernel entry).
+
+    Carries the Mitsuba near/far clip planes (scenes/cbox.xml:13-14):
+    `_camera_ray` starts the primary ray at the near plane and
+    `_make_bounce_step` discards depth-0 hits beyond the far plane."""
+    m = np.asarray(camera.to_world)
+    return dict(
+        R=tuple(tuple(float(x) for x in m[i, :3]) for i in range(3)),
+        origin=tuple(float(x) for x in m[:3, 3]),
+        tfx=float(camera.tan_fov_x),
+        tfy=float(camera.tan_fov_y),
+        W=camera.width, H=camera.height, n_pix=n_pix,
+        near=float(camera.near), far=float(camera.far),
+    )
+
+
 def _camera_ray(raygen, shape, pid, jx, jy):
     """Primary camera ray for each lane from its linear pixel index plus
     in-pixel jitter (jx, jy).  Returns (o, d, in_image).
+
+    The ray starts AT the near clip plane (origin offset by
+    near * |d_cam| along d — Mitsuba's ray.mint for perspective sensors);
+    hit points are unchanged (o' + t'd = o + (t_near + t')d) and depth-0
+    MIS never reads t (prev_delta = 1), so the estimator is exact.
 
     The bounds compare stays in int32 (exact); the px/py split is f32
     math, exact because bake asserts n_pix <= 2^24 (ADVICE r2)."""
@@ -638,7 +660,11 @@ def _camera_ray(raygen, shape, pid, jx, jy):
         R[2][0] * cx + R[2][1] * cy + R[2][2],
     ))
     og = raygen["origin"]
-    o = (og[0] + zeros, og[1] + zeros, og[2] + zeros)
+    # near-plane offset: t_near = near * |d_cam| (|d_cam| = 1/dz of the
+    # normalized direction)
+    t_near = raygen["near"] * jnp.sqrt(cx * cx + cy * cy + 1.0)
+    o = (og[0] + t_near * d[0], og[1] + t_near * d[1],
+         og[2] + t_near * d[2])
     return o, d, in_image
 
 
@@ -705,7 +731,7 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None,
     Returns (L, ray_count, rng, aux) with aux = dict(jx, jy, esc_d,
     esc_thr)."""
     st, (jx, jy) = _sample_state_init(bs, raygen, rng, o, d, pid, stokes)
-    step = _make_bounce_step(bs, stokes=stokes)
+    step = _make_bounce_step(bs, stokes=stokes, raygen=raygen)
     if early_exit and bs.max_depth > 1:
         # while_loop over depth with a TILE-WIDE early exit once every lane
         # is dead: at deep max_depth (cbox_pol runs 16 with RR from 5) the
@@ -750,14 +776,19 @@ def _trace_sample(bs: BakedScene, raygen, rng, o=None, d=None, pid=None,
     return st["L"], st["ray_count"], st["rng"], aux
 
 
-def _make_bounce_step(bs: BakedScene, stokes=None):
+def _make_bounce_step(bs: BakedScene, stokes=None, raygen=None):
     """Build step(depth, st) -> st: ONE path-tracing bounce over the state
     dict from `_sample_state_init`.
 
     `depth` may be a Python int (static: dead code per depth is elided —
     the unrolled per-sample form) or a traced int32 plane (dynamic: every
     depth-dependent gate becomes a per-lane mask — the regeneration
-    while_loop form, where each lane is at its own depth)."""
+    while_loop form, where each lane is at its own depth).
+
+    With in-kernel raygen, depth-0 hits beyond the camera far plane are
+    discarded (Mitsuba ray.maxt): t_far is recomputed from the lane
+    direction (d . camera_forward = 1/|d_cam|) so no extra loop carry is
+    needed — at depth 0 the lane direction IS the camera ray."""
     n_lights = max(bs.n_lights, 1)
     inv_n_lights = 1.0 / n_lights
     has_lights = bs.n_lights > 0
@@ -788,6 +819,19 @@ def _make_bounce_step(bs: BakedScene, stokes=None):
         ones = jnp.ones(shape, jnp.float32)
         t, prim_f, n = _sweep(bs, o, d, 1e-4, _BIG)
         hit = (prim_f >= 0.0) & active
+        if raygen is not None and raygen["far"] < 1e8:
+            # camera far plane: the primary origin already sits at the near
+            # plane, so the remaining clip length is (far - near) * |d_cam|
+            # with |d_cam| = 1 / (d . forward)
+            R = raygen["R"]
+            dz = d[0] * R[0][2] + d[1] * R[1][2] + d[2] * R[2][2]
+            t_far = (raygen["far"] - raygen["near"]) / jnp.maximum(dz, 1e-9)
+            clip_ok = t <= t_far
+            if static:
+                if depth == 0:
+                    hit = hit & clip_ok
+            else:
+                hit = hit & (clip_ok | (depth != 0))
         ray_count = ray_count + jnp.where(active, 1.0, 0.0)
 
         # Emitter-visibility gate: static depth elides the blocks at
@@ -1473,7 +1517,7 @@ def _build_kernel(bs: BakedScene, raygen=None, film=None, stokes=None,
             rng = _rng_init(seed_ref[0] + i, pid.astype(jnp.uint32), shape)
             st, (jx, jy) = _sample_state_init(bs, raygen, rng, pid=pid,
                                               stokes=stokes)
-            step = _make_bounce_step(bs, stokes=stokes)
+            step = _make_bounce_step(bs, stokes=stokes, raygen=raygen)
             for depth in range(bs.max_depth):
                 st = step(depth, st)
             upd = splat_upd(sample_vals(st), st["ray_count"], jx, jy)
@@ -1512,7 +1556,7 @@ def _regen_loop(bs, raygen, stokes, seed_ref, pid, shape, n_samples, n_acc,
     zeros = jnp.zeros(shape, jnp.float32)
     nsf = float(n_samples)
     max_d = float(bs.max_depth)
-    step = _make_bounce_step(bs, stokes=stokes)
+    step = _make_bounce_step(bs, stokes=stokes, raygen=raygen)
 
     def make_state(si):
         rng = _rng_init(seed_ref[0] + si.astype(jnp.int32),
@@ -1642,14 +1686,7 @@ def pallas_raygen_trace(bs: BakedScene, camera, seed, tile_rows=8,
     rows = (n + pad) // lanes
     grid = rows // tile_rows
 
-    m = np.asarray(camera.to_world)
-    raygen = dict(
-        R=tuple(tuple(float(x) for x in m[i, :3]) for i in range(3)),
-        origin=tuple(float(x) for x in m[:3, 3]),
-        tfx=float(camera.tan_fov_x),
-        tfy=float(camera.tan_fov_y),
-        W=W, H=H, n_pix=n,
-    )
+    raygen = _make_raygen(camera, n)
     kernel = _build_kernel(bs, raygen=raygen,
                            early_exit=_use_early_exit(bs))
     block = pl.BlockSpec(
@@ -1709,13 +1746,7 @@ def pallas_film_trace(bs: BakedScene, camera, seed, n_samples, tile_rows=8,
     grid = rows // tile_rows
 
     m = np.asarray(camera.to_world)
-    raygen = dict(
-        R=tuple(tuple(float(x) for x in m[i, :3]) for i in range(3)),
-        origin=tuple(float(x) for x in m[:3, 3]),
-        tfx=float(camera.tan_fov_x),
-        tfy=float(camera.tan_fov_y),
-        W=W, H=H, n_pix=n,
-    )
+    raygen = _make_raygen(camera, n)
     filt = "tent" if camera.filter_type == FILTER_TENT else "box"
     stokes_cfg = dict(cam_x=tuple(float(x) for x in m[:3, 0])) if stokes \
         else None
@@ -1777,13 +1808,7 @@ def pallas_stokes_trace(bs: BakedScene, camera, seed, tile_rows=8,
     grid = rows // tile_rows
 
     m = np.asarray(camera.to_world)
-    raygen = dict(
-        R=tuple(tuple(float(x) for x in m[i, :3]) for i in range(3)),
-        origin=tuple(float(x) for x in m[:3, 3]),
-        tfx=float(camera.tan_fov_x),
-        tfy=float(camera.tan_fov_y),
-        W=W, H=H, n_pix=n,
-    )
+    raygen = _make_raygen(camera, n)
     stokes = dict(cam_x=tuple(float(x) for x in m[:3, 0]))
     kernel = _build_kernel(bs, raygen=raygen, stokes=stokes,
                            early_exit=_use_early_exit(bs))
@@ -1839,6 +1864,7 @@ def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         tuple(np.asarray(c.to_world).ravel().tolist()),
         float(c.tan_fov_x), float(c.tan_fov_y), H, W,
         c.filter_type, c.filter_radius,
+        float(c.near), float(c.far),  # clip planes are baked into raygen
     )
 
     from tpu_rt.scene.types import FILTER_BOX, FILTER_TENT
@@ -2178,6 +2204,7 @@ def render_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
         tuple(np.asarray(c.to_world).ravel().tolist()),
         float(c.tan_fov_x), float(c.tan_fov_y), H, W,
         c.filter_type, c.filter_radius,
+        float(c.near), float(c.far),  # clip planes are baked into raygen
     )
     root = _jax.random.PRNGKey(seed)
 

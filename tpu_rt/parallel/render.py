@@ -50,8 +50,9 @@ def render_pass_sharded(scene: Scene, key, mesh: Mesh, max_depth=None):
         k_jit, k_path = jax.random.split(key_shard)
         jitter = jax.random.uniform(k_jit, xy_shard.shape)
         film_xy = xy_shard.astype(jnp.float32) + jitter
-        o, d = cam.sample_ray(c, film_xy)
-        L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth)
+        o, d, t0, t1 = cam.sample_ray_extents(c, film_xy)
+        L, n_rays = path_trace(scene, o, d, k_path, max_depth=max_depth,
+                               tmin0=t0, tmax0=t1)
         ok = valid_shard & jnp.all(jnp.isfinite(L), axis=-1)
         L = jnp.where(ok[:, None], L, 0.0)
         fv = jnp.zeros((H, W, 3), jnp.float32)

@@ -404,6 +404,7 @@ class _Builder:
                 filter_type=_FILTERS.get(ftype, T.FILTER_GAUSSIAN),
                 filter_radius=_FILTER_RADII.get(ftype, 2.0),
                 spp=self.spp,
+                pixel_format=str(film.get("pixel_format", "rgb")),
             )
         elif stype == "ultrasound_sensor":
             self.us_sensor = {k: v for k, v in sd.items() if k != "type"}

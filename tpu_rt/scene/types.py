@@ -171,6 +171,10 @@ class Camera:
     filter_type: int = flax.struct.field(pytree_node=False, default=FILTER_BOX)
     filter_radius: float = flax.struct.field(pytree_node=False, default=0.5)
     spp: int = flax.struct.field(pytree_node=False, default=16)
+    # hdrfilm pixel_format ("rgb" | "luminance" — the reference's US film
+    # XMLs request luminance, /root/reference/USMain.py:62); develop-time
+    # conversion, see integrator.render.
+    pixel_format: str = flax.struct.field(pytree_node=False, default="rgb")
 
 
 @flax.struct.dataclass

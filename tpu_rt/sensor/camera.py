@@ -24,16 +24,25 @@ def sample_ray(cam: Camera, film_xy):
         (0,0) = top-left).
     Returns (o [N,3], d [N,3]).
     """
+    o, d, _, _ = sample_ray_extents(cam, film_xy)
+    return o, d
+
+
+def sample_ray_extents(cam: Camera, film_xy):
+    """Camera rays plus Mitsuba clip-plane extents.
+
+    Mitsuba's perspective sensor sets ray.mint/maxt from near_clip/far_clip
+    measured along the camera z axis (scenes/cbox.xml:13-14): for the
+    normalized world direction whose camera-space z component is
+    1/|d_cam|, t = near * |d_cam| reaches the z = near plane.
+    Returns (o [N,3], d [N,3], tmin [N], tmax [N]).
+    """
     u = film_xy[..., 0] / cam.width
     v = film_xy[..., 1] / cam.height
-    d_cam = jnp.stack(
-        [
-            (2.0 * u - 1.0) * cam.tan_fov_x,
-            (1.0 - 2.0 * v) * cam.tan_fov_y,
-            jnp.ones_like(u),
-        ],
-        axis=-1,
-    )
+    dx = (2.0 * u - 1.0) * cam.tan_fov_x
+    dy = (1.0 - 2.0 * v) * cam.tan_fov_y
+    d_cam = jnp.stack([dx, dy, jnp.ones_like(u)], axis=-1)
     d = normalize(transform_vector(cam.to_world, d_cam))
     o = jnp.broadcast_to(cam.to_world[:3, 3], d.shape)
-    return o, d
+    inv_z = jnp.sqrt(dx * dx + dy * dy + 1.0)  # |d_cam| = 1 / dz_normalized
+    return o, d, cam.near * inv_z, cam.far * inv_z
