@@ -49,19 +49,29 @@ def bench_mesh(path, origin, target, res=512):
         return acc
 
     jax.block_until_ready(sweep_n(o, d, 1))
-    def med(reps, n=5):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            jax.block_until_ready(sweep_n(o, d, reps))
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2]
-    t1, t4 = med(1), med(4)
-    per = (t4 - t1) / 3
+
+    # Variance-honest reporting (VERDICT r3 #9): n paired (t1, t4) slope
+    # samples -> min/median/max of the per-pair slope, not a single median
+    # whose noise band lives in prose.
+    n = 5
+    slopes = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(sweep_n(o, d, 1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(sweep_n(o, d, 4))
+        t4 = time.perf_counter() - t0
+        slopes.append((t4 - t1) / 3)
+    slopes.sort()
+    lo, per, hi = slopes[-1], slopes[n // 2], slopes[0]  # time hi -> rate lo
+    rate = lambda s: res * res / s / 1e6  # noqa: E731
     t, prim, u, v = jax.device_get(pallas_mesh.mesh_intersect(clusters, o, d))
     hit_frac = float((prim >= 0).mean())
     name = path.split("/")[-1]
-    print(f"{name}: {res*res/per/1e6:.1f}M rays/s intersect-only "
+    print(f"{name}: {rate(per):.1f}M rays/s intersect-only "
+          f"[min {rate(lo):.1f} / median {rate(per):.1f} / "
+          f"max {rate(hi):.1f}, n={n}] "
           f"({per*1e3:.2f} ms/wave, hit {hit_frac:.2f}, "
           f"{g.cl_tris.shape[0]} clusters)", flush=True)
 
