@@ -80,6 +80,43 @@ def test_film_kernel_equals_per_sample_splat(cbox8):
     np.testing.assert_allclose(img_film, img_ref, rtol=2e-5, atol=2e-6)
 
 
+def test_film_kernel_gaussian_equals_per_sample_splat(cbox8):
+    """The in-kernel gaussian splat (5x5 footprint, 100 planes — VERDICT
+    r3 #3) must reproduce the per-sample kernel + XLA splat_aligned; the
+    exp weight may differ by ulps between program shapes, hence allclose
+    rather than exact equality."""
+    import jax.numpy as jnp
+
+    from tpu_rt.scene.types import FILTER_GAUSSIAN
+    from tpu_rt.sensor import film as film_mod
+
+    scene = cbox8.replace(camera=cbox8.camera.replace(
+        filter_type=FILTER_GAUSSIAN))
+    seed, spp = 5, 3
+    c = scene.camera
+    H, W = c.height, c.width
+    bs = pp.bake_scene(scene)
+
+    img_film = np.asarray(
+        pp.render_pallas(scene, spp=spp, seed=seed, interpret=True,
+                         spp_per_pass=1)
+    )
+
+    fv = jnp.zeros((H, W, 3), jnp.float32)
+    fw = jnp.zeros((H, W), jnp.float32)
+    for i in range(spp):
+        L, jit, _ = pp.pallas_raygen_trace(bs, c, seed * 100003 + i,
+                                           interpret=True)
+        ok = jnp.all(jnp.isfinite(L), axis=-1)
+        fv, fw = film_mod.splat_aligned(
+            fv, fw, jit.reshape(H, W, 2),
+            jnp.where(ok[:, None], L, 0.0).reshape(H, W, 3),
+            ok.reshape(H, W), c.filter_type,
+        )
+    img_ref = np.asarray(film_mod.develop(fv, fw))
+    np.testing.assert_allclose(img_film, img_ref, rtol=2e-5, atol=2e-6)
+
+
 def test_film_render_single_dispatch_scan_and_tail(cbox8):
     """The whole-render fused dispatch (lax.scan over full chunks + tail
     chunk + develop, all one jit — r3: per-chunk dispatches cost ~35 ms
@@ -225,19 +262,26 @@ def cbox_pol12(ref_scenes):
     return scene.replace(max_depth=3)
 
 
-@pytest.mark.parametrize("filt", ["box", "tent"])
+@pytest.mark.parametrize("filt", ["box", "tent", "gaussian"])
 def test_stokes_film_kernel_equals_per_sample_splat(cbox_pol12, filt):
-    """The polarized in-kernel box/tent splat must reproduce the
+    """The polarized in-kernel box/tent/gaussian splat must reproduce the
     per-sample Stokes kernel + XLA splat_aligned EXACTLY: with
     spp_per_pass=1 both consume the same per-chunk RNG stream
     (seed*100003 + i), so the only difference is where the 13-plane
-    filter accumulation happens."""
+    filter accumulation happens.  gaussian (cbox_pol's own rfilter —
+    VERDICT r3 #3) uses the 5x5 footprint; its exp weight may differ by
+    ulps between program shapes, within the shared allclose tolerance."""
     import jax.numpy as jnp
 
-    from tpu_rt.scene.types import FILTER_BOX, FILTER_TENT
+    from tpu_rt.scene.types import (
+        FILTER_BOX,
+        FILTER_GAUSSIAN,
+        FILTER_TENT,
+    )
     from tpu_rt.sensor import film as film_mod
 
-    ft = FILTER_TENT if filt == "tent" else FILTER_BOX
+    ft = {"box": FILTER_BOX, "tent": FILTER_TENT,
+          "gaussian": FILTER_GAUSSIAN}[filt]
     scene = cbox_pol12.replace(camera=cbox_pol12.camera.replace(
         filter_type=ft))
     seed, spp = 5, 3
@@ -400,7 +444,7 @@ def test_render_stokes_sharded_film_path_matches_single_chip(cbox_pol12):
     np.testing.assert_allclose(sharded, single, rtol=1e-3, atol=1e-5)
 
 
-@pytest.mark.parametrize("filt", ["box", "tent"])
+@pytest.mark.parametrize("filt", ["box", "tent", "gaussian"])
 def test_film_regen_loop_equals_unrolled(cbox8, filt):
     """The persistent regeneration while_loop (per-lane sample restart —
     reclaims the dead-lane tail at deep max_depth) must equal the unrolled
@@ -409,9 +453,14 @@ def test_film_regen_loop_equals_unrolled(cbox8, filt):
     order.  Tolerance is ulp-level only — XLA fuses/FMA-groups the two
     program shapes differently (measured max rel diff 2.5e-7); the
     integer-valued ray-count plane must match EXACTLY."""
-    from tpu_rt.scene.types import FILTER_BOX, FILTER_TENT
+    from tpu_rt.scene.types import (
+        FILTER_BOX,
+        FILTER_GAUSSIAN,
+        FILTER_TENT,
+    )
 
-    ft = FILTER_TENT if filt == "tent" else FILTER_BOX
+    ft = {"box": FILTER_BOX, "tent": FILTER_TENT,
+          "gaussian": FILTER_GAUSSIAN}[filt]
     scene = cbox8.replace(camera=cbox8.camera.replace(filter_type=ft))
     bs = pp.bake_scene(scene)
     a, nra = pp.pallas_film_trace(bs, scene.camera, 17, 3, interpret=True,
