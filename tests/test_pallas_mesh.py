@@ -264,3 +264,39 @@ def test_mesh_kernel_random_soup_matches_numpy():
     with np.errstate(invalid="ignore"):  # inf - inf on all-miss rows
         clear = ref_hit & ((t2 - ref_t) > 1e-3)
     np.testing.assert_array_equal(prim[clear], ref_prim[clear])
+
+
+def test_mixed_mesh_analytic_dispatch_matches_chunked():
+    """ray_intersect on a mesh + analytic-prims scene through the Pallas
+    dispatch (_trace_mesh_pallas merges the analytic sweep into the
+    kernel's best hit) must match the pure-XLA chunked tracer.  Regression:
+    the _analytic_sweep params argument (curve radii, r3) was never threaded
+    through this branch — it only executes on real TPU or under
+    INTERPRET, and no test covered the mixed-geometry case (r4 find)."""
+    scene = tpu_rt.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path"},
+        "sensor": {"type": "perspective", "fov": 40,
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8}},
+        "m": {"type": "ply",
+              "filename": "/root/reference/scenes/meshes/teapot.ply",
+              "bsdf": {"type": "diffuse"}},
+        "s": {"type": "sphere",
+              # in front of the teapot bbox center ([0.2, 0, 1.6]) so a
+              # good fraction of the random rays see it first
+              "to_world": tpu_rt.ScalarTransform4f().translate([0.2, 0, 4.5])
+              @ tpu_rt.ScalarTransform4f().scale([1.5, 1.5, 1.5]),
+              "bsdf": {"type": "diffuse"}},
+    })
+    g = scene.geometry
+    assert g.n_analytic == 1
+    o, d = _rays_at_mesh(g, 512, seed=3)
+    assert trace._pallas_mesh_available(g)
+    hit_k = trace.ray_intersect_hit(g, o, d)
+    hit_x = trace._trace_chunked(g, o, d, trace.RAY_EPS, trace.INF)
+    np.testing.assert_array_equal(np.asarray(hit_k.prim),
+                                  np.asarray(hit_x.prim))
+    np.testing.assert_allclose(np.asarray(hit_k.t), np.asarray(hit_x.t),
+                               rtol=1e-5, atol=1e-6)
+    # the sphere must actually win on some rays
+    assert (np.asarray(hit_k.prim) >= g.n_tris).any()

@@ -436,7 +436,8 @@ def _trace_mesh_pallas(geom: Geometry, o, d, tmin, tmax) -> Hit:
         od = jnp.sum(rot[None] * d_f, axis=-1)
         tmin_b = jnp.broadcast_to(tmin, (n,)).reshape(-1, 1)
         t_a, u_a, v_a = _analytic_sweep(
-            geom, geom.an_type[None, :], oo, od, tmin_b, best_t[:, None]
+            geom, geom.an_type[None, :], _an_params(geom)[None], oo, od,
+            tmin_b, best_t[:, None]
         )
         ai = jnp.argmin(t_a, axis=1)
         idx = ai[:, None]
