@@ -1117,10 +1117,14 @@ def _make_bounce_step(bs: BakedScene, stokes=None, raygen=None,
         if mesh_refs is not None:
             # clustered-mesh closest hit merged into the running best;
             # n stays the SHADING normal, n_g the geometric one (spawn
-            # offsets follow trace.py spawn_origin's ng convention)
+            # offsets follow trace.py spawn_origin's ng convention).
+            # DEAD lanes get a collapsed ray bound so they never keep a
+            # cluster alive in the tile-wide slab tests (their outputs
+            # are masked by `hit = ... & active` downstream anyway).
+            t_cull = jnp.where(active, t, 1e-4)
             t, prim_f, n, n_g = _mesh_closest(
                 mesh_refs, bs.mesh["n_clusters"], o, d, 1e-4,
-                t, prim_f, n, float(len(bs.prims)))
+                t_cull, prim_f, n, float(len(bs.prims)))
         else:
             n_g = n
         hit = (prim_f >= 0.0) & active
@@ -1386,9 +1390,12 @@ def _make_bounce_step(bs: BakedScene, stokes=None, raygen=None,
                 bs, shadow_o, wl, 1e-4, dist * (1.0 - 1e-3), any_hit=True,
             )
             if mesh_refs is not None:
+                # non-candidate lanes collapse their segment so they
+                # cannot keep shadow clusters alive in the slab tests
+                occ_tmax = jnp.where(nee_ok, dist * (1.0 - 1e-3), 1e-4)
                 occ = occ | _mesh_anyhit(
                     mesh_refs, bs.mesh["n_clusters"], shadow_o, wl,
-                    1e-4, dist * (1.0 - 1e-3))
+                    1e-4, occ_tmax)
             vis = nee_ok & ~occ
             ray_count = ray_count + jnp.where(nee_ok, 1.0, 0.0)
             w_nee = jnp.where(is_delta_l, 1.0, _mis(pdf_nee, pdf_bsdf_l))
