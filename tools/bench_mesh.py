@@ -49,22 +49,29 @@ def bench_mesh(path, origin, target, res=512):
         return acc
 
     jax.block_until_ready(sweep_n(o, d, 1))
+    jax.block_until_ready(sweep_n(o, d, 16))
 
-    # Variance-honest reporting (VERDICT r3 #9): n paired (t1, t4) slope
-    # samples -> min/median/max of the per-pair slope, not a single median
-    # whose noise band lives in prose.
+    # Variance-honest reporting (VERDICT r3 #9).  Paired per-sample slopes
+    # (t_hi - t_lo)/k are garbage on the tunnel: the ~35 ms dispatch noise
+    # in t_lo and t_hi is independent, so single pairs go negative.  Take n
+    # independent samples of each endpoint, widen the lever arm to 15 waves,
+    # and report the slope of the medians with a quartile band
+    # (p25_hi - p75_lo, p75_hi - p25_lo) — always-plausible bounds that
+    # shrink as the endpoint distributions tighten.
     n = 5
-    slopes = []
+    t_lo, t_hi = [], []
     for _ in range(n):
         t0 = time.perf_counter()
         jax.block_until_ready(sweep_n(o, d, 1))
-        t1 = time.perf_counter() - t0
+        t_lo.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        jax.block_until_ready(sweep_n(o, d, 4))
-        t4 = time.perf_counter() - t0
-        slopes.append((t4 - t1) / 3)
-    slopes.sort()
-    lo, per, hi = slopes[-1], slopes[n // 2], slopes[0]  # time hi -> rate lo
+        jax.block_until_ready(sweep_n(o, d, 16))
+        t_hi.append(time.perf_counter() - t0)
+    t_lo.sort(); t_hi.sort()
+    q = lambda xs, p: xs[min(n - 1, max(0, round(p * (n - 1))))]  # noqa: E731
+    per = (t_hi[n // 2] - t_lo[n // 2]) / 15
+    lo = (q(t_hi, 0.75) - q(t_lo, 0.25)) / 15   # slow bound -> rate min
+    hi = max((q(t_hi, 0.25) - q(t_lo, 0.75)) / 15, 1e-9)  # fast bound
     rate = lambda s: res * res / s / 1e6  # noqa: E731
     t, prim, u, v = jax.device_get(pallas_mesh.mesh_intersect(clusters, o, d))
     hit_frac = float((prim >= 0).mean())

@@ -69,6 +69,9 @@ _BIG = 1e8             # finite miss sentinel (see geometry.trace.INF)
 # Tests on the CPU backend set this to run the kernel in interpret mode.
 INTERPRET = False
 
+# Per-block front-to-back live-cluster ordering (see _block_live_clusters).
+_F2B = os.environ.get("TPU_RT_MESH_F2B", "1") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Host-side cluster build
@@ -434,18 +437,34 @@ def _block_live_clusters(bounds, comps, grid, tm, tmin):
     olo, ohi = zip(*(rng(c) for c in comps[0:3]))
     dlo, dhi = zip(*(rng(c) for c in comps[3:6]))
     _, tmx = rng(comps[6])
-    live = _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin)
-    return _compact_live(live)
+    live, tn_lb = _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin,
+                                      return_tn=True)
+    # Front-to-back per-block ordering (r4): the kernel bounds every slab
+    # test by the lanes' running best_t, so visiting a block's live
+    # clusters by their conservative entry distance lets a near hit kill
+    # far clusters at the cheap scalar cull.  Per-BLOCK id ordering only —
+    # segment grouping (which the r3 global-sort dead end disturbed) is
+    # untouched.  Closest-hit results are order-independent except for
+    # exact-t ties (strict t < best keeps the first visited).
+    return _compact_live(live, order_key=tn_lb if _F2B else None)
 
 
-def _compact_live(live):
-    """(grid, C) bool -> (ids compacted-to-front (grid, C) i32, counts)."""
-    ids = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
+def _compact_live(live, order_key=None):
+    """(grid, C) bool -> (ids compacted-to-front (grid, C) i32, counts).
+
+    ``order_key`` (grid, C) sorts each block's LIVE ids ascending (dead
+    ids sink to the tail); None keeps stable cluster order."""
+    if order_key is None:
+        ids = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
+    else:
+        key = jnp.where(live, order_key, jnp.float32(np.inf))
+        ids = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
     nlive = live.sum(1, keepdims=True).astype(jnp.int32)
     return ids, nlive
 
 
-def _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin):
+def _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin,
+                        return_tn=False):
     """Interval-arithmetic slab test: per (block, cluster) liveness for rays
     with per-block component intervals o in [olo, ohi], d in [dlo, dhi] and
     parameter range [tmin, tmx].  All inputs broadcast as (grid, 1); returns
@@ -481,7 +500,10 @@ def _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin):
         tn_lb = jnp.maximum(tn_lb, lo_t)
         tf_ub = jnp.minimum(tf_ub, hi_t)
 
-    return tn_lb <= tf_ub           # (grid, C), conservative superset
+    live = tn_lb <= tf_ub           # (grid, C), conservative superset
+    if return_tn:
+        return live, tn_lb
+    return live
 
 
 def _shadow_live_clusters(bounds, comps, grid, tm, lights, mesh_lo, mesh_hi):
