@@ -82,16 +82,18 @@ def _use_regen(bs) -> bool:
     return bs.max_depth >= _REGEN_AUTO_DEPTH
 
 
-# Per-sample kernels (gaussian-filter / textured-env / Stokes scenes): a
-# depth while_loop with TILE-wide early exit can replace the unrolled
-# bounce chain (identical output; see _trace_sample).  Measured SLOWER on
-# the cbox_pol headline (79.5 -> 84.0 ms at 256^2 spp 64, v5e): RR
-# survival caps at 0.95 so a whole 2048-lane tile is rarely dead before
-# depth 16, and the loop form loses scheduling slack — default OFF.  It
-# still compiles the bounce body once instead of max_depth times; env
-# TPU_RT_EARLY_EXIT=1 opts in when cold-compile time matters more than
-# the ~6% run cost.
-EARLY_EXIT_MODE = os.environ.get("TPU_RT_EARLY_EXIT", "0")
+# Per-sample kernels (textured-env / per-sample Stokes scenes): a depth
+# while_loop with TILE-wide early exit can replace the unrolled bounce
+# chain (identical output; see _trace_sample).  Measurements (v5e):
+# cbox_pol per-sample 79.5 -> 84.0 ms (6% slower: closed box, RR survival
+# caps at 0.95 so tiles rarely die — that scene now routes through the
+# in-kernel gaussian Stokes film anyway); polarizers.xml (envmap textured,
+# the scene class that still runs per-sample) 256^2 spp 64: 71.7 vs
+# 71.7 ms median — DEAD EVEN, while compiling the bounce body once
+# instead of max_depth times.  Default "auto": loop form at deep unrolls
+# (max_depth >= 8, where the compile saving is ~16x on the bounce body
+# and runtime is even), unrolled below.  TPU_RT_EARLY_EXIT=0/1 forces.
+EARLY_EXIT_MODE = os.environ.get("TPU_RT_EARLY_EXIT", "auto")
 
 
 def _use_early_exit(bs) -> bool:
