@@ -72,6 +72,28 @@ INTERPRET = False
 # Per-block front-to-back live-cluster ordering (see _block_live_clusters).
 _F2B = os.environ.get("TPU_RT_MESH_F2B", "1") == "1"
 
+# Rows per host-cull interval group (see _block_live_clusters).
+_SUBCULL_ROWS = int(os.environ.get("TPU_RT_MESH_SUBCULL_ROWS", "1"))
+
+# Hierarchical in-kernel cull: slab-test the treelet ROOT box (cols 0-5)
+# first and branch into the four quarter tests only when some lane can hit
+# it.  Clusters the root rejects pay 1 slab test instead of 4; clusters it
+# admits pay 5.  Measured (v5e, tools/bench_mesh.py): teapot 606 -> 726M
+# (F2B + shrinking best_t root-kill far clusters) but bunny 64.3 -> 60.2M
+# (its host-live clusters mostly pass the root, so the extra test is pure
+# overhead) — "auto" enables it only for single-segment (teapot-class)
+# meshes, where the whole table is hot and F2B ordering makes root kills
+# common.  TPU_RT_MESH_ROOT_CULL=0/1 forces.
+_ROOT_CULL_MODE = os.environ.get("TPU_RT_MESH_ROOT_CULL", "auto")
+
+
+def _root_cull_on(n_segments: int) -> bool:
+    if _ROOT_CULL_MODE == "1":
+        return True
+    if _ROOT_CULL_MODE == "0":
+        return False
+    return n_segments <= 1
+
 
 # ---------------------------------------------------------------------------
 # Host-side cluster build
@@ -266,7 +288,8 @@ def build_clusters(tri_p0, tri_e1, tri_e2, prim_order=None, bvh=None,
 # ---------------------------------------------------------------------------
 
 def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
-            tmax_ref, t_out, lid_out, u_out, v_out, *, tmin, n_clusters):
+            tmax_ref, t_out, lid_out, u_out, v_out, *, tmin, n_clusters,
+            root_cull):
     # Hoisted: pl.program_id cannot be lowered inside fori bodies in
     # interpret mode (r3 note).
     pid = pl.program_id(0)
@@ -312,90 +335,97 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
         # tile clipping a treelet's corner sweeps ~k/4 tris instead of k
         # (bunny live tiles are sweep-bound; per-lane masking can't skip
         # VPU work, but the span bounds can).
-        l0 = slab_live(8)
-        l1 = slab_live(14)
-        l2 = slab_live(20)
-        l3 = slab_live(26)
-        live = l0 | l1 | l2 | l3
+        def quarters(best):
+            l0 = slab_live(8)
+            l1 = slab_live(14)
+            l2 = slab_live(20)
+            l3 = slab_live(26)
+            live = l0 | l1 | l2 | l3
 
-        def process(best):
-            def intersect_one(k, bt):
-                """One scalar-splat Moller-Trumbore test; returns
-                (ok, t, u, v, lid) without the select chain (so unrolled
-                iterations run as independent instruction chains)."""
-                p0x = tri_ref[ci, 0, k]
-                p0y = tri_ref[ci, 1, k]
-                p0z = tri_ref[ci, 2, k]
-                e1x = tri_ref[ci, 3, k]
-                e1y = tri_ref[ci, 4, k]
-                e1z = tri_ref[ci, 5, k]
-                e2x = tri_ref[ci, 6, k]
-                e2y = tri_ref[ci, 7, k]
-                e2z = tri_ref[ci, 8, k]
+            def process(best):
+                def intersect_one(k, bt):
+                    """One scalar-splat Moller-Trumbore test; returns
+                    (ok, t, u, v, lid) without the select chain (so unrolled
+                    iterations run as independent instruction chains)."""
+                    p0x = tri_ref[ci, 0, k]
+                    p0y = tri_ref[ci, 1, k]
+                    p0z = tri_ref[ci, 2, k]
+                    e1x = tri_ref[ci, 3, k]
+                    e1y = tri_ref[ci, 4, k]
+                    e1z = tri_ref[ci, 5, k]
+                    e2x = tri_ref[ci, 6, k]
+                    e2y = tri_ref[ci, 7, k]
+                    e2z = tri_ref[ci, 8, k]
 
-                pvx = d[1] * e2z - d[2] * e2y
-                pvy = d[2] * e2x - d[0] * e2z
-                pvz = d[0] * e2y - d[1] * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                det_safe = jnp.where(
-                    jnp.abs(det) < 1e-12,
-                    jnp.where(det < 0, -1e-12, 1e-12), det,
-                )
-                invdet = 1.0 / det_safe
-                tvx = o[0] - p0x
-                tvy = o[1] - p0y
-                tvz = o[2] - p0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * invdet
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * invdet
-                ok = (
-                    (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > tmin) & (t < bt)
-                )
-                return ok, t, u, v, c * CLUSTER + k
+                    pvx = d[1] * e2z - d[2] * e2y
+                    pvy = d[2] * e2x - d[0] * e2z
+                    pvz = d[0] * e2y - d[1] * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    det_safe = jnp.where(
+                        jnp.abs(det) < 1e-12,
+                        jnp.where(det < 0, -1e-12, 1e-12), det,
+                    )
+                    invdet = 1.0 / det_safe
+                    tvx = o[0] - p0x
+                    tvy = o[1] - p0y
+                    tvz = o[2] - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * invdet
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * invdet
+                    ok = (
+                        (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > tmin) & (t < bt)
+                    )
+                    return ok, t, u, v, c * CLUSTER + k
 
-            def tri_body(kk, best):
-                # 2-wide unroll: the two MT chains are independent, filling
-                # the VPU pipeline; selects merge them afterwards.
-                bt, bl, bu, bv = best
-                k0 = kk * 2
-                ok0, t0, u0, v0, l0 = intersect_one(k0, bt)
-                ok1, t1, u1, v1, l1 = intersect_one(k0 + 1, bt)
-                # prefer the closer of the two when both hit
-                take1 = ok1 & (~ok0 | (t1 < t0))
-                ok = ok0 | ok1
-                t = jnp.where(take1, t1, t0)
-                u = jnp.where(take1, u1, u0)
-                v = jnp.where(take1, v1, v0)
-                lid = jnp.where(take1, l1, l0)
-                return (
-                    jnp.where(ok, t, bt),
-                    jnp.where(ok, lid, bl),
-                    jnp.where(ok, u, bu),
-                    jnp.where(ok, v, bv),
-                )
+                def tri_body(kk, best):
+                    # 2-wide unroll: the two MT chains are independent, filling
+                    # the VPU pipeline; selects merge them afterwards.
+                    bt, bl, bu, bv = best
+                    k0 = kk * 2
+                    ok0, t0, u0, v0, l0 = intersect_one(k0, bt)
+                    ok1, t1, u1, v1, l1 = intersect_one(k0 + 1, bt)
+                    # prefer the closer of the two when both hit
+                    take1 = ok1 & (~ok0 | (t1 < t0))
+                    ok = ok0 | ok1
+                    t = jnp.where(take1, t1, t0)
+                    u = jnp.where(take1, u1, u0)
+                    v = jnp.where(take1, v1, v0)
+                    lid = jnp.where(take1, l1, l0)
+                    return (
+                        jnp.where(ok, t, bt),
+                        jnp.where(ok, lid, bl),
+                        jnp.where(ok, u, bu),
+                        jnp.where(ok, v, bv),
+                    )
 
-            # Sweep only the contiguous live-quarter span of the live
-            # lanes (quarter boundaries q_i = i*k//4 derive from the
-            # count; pads at the tail can never hit — degenerate, t=0).
-            k = bounds_ref[c, 6].astype(jnp.int32)
-            q1 = k // 4
-            q2 = k // 2
-            q3 = (3 * k) // 4
-            s_tri = jnp.where(l0, 0, jnp.where(l1, q1,
-                              jnp.where(l2, q2, q3)))
-            e_tri = jnp.where(l3, k, jnp.where(l2, q3,
-                              jnp.where(l1, q2, q1)))
-            # 2-wide iterations: kk covers tris {2kk, 2kk+1}; start floors
-            # so a boundary-straddling pair is still tested (extra tests
-            # are correct, never skipped ones).
-            return jax.lax.fori_loop(s_tri // 2, (e_tri + 1) // 2,
-                                     tri_body, best)
+                # Sweep only the contiguous live-quarter span of the live
+                # lanes (quarter boundaries q_i = i*k//4 derive from the
+                # count; pads at the tail can never hit — degenerate, t=0).
+                k = bounds_ref[c, 6].astype(jnp.int32)
+                q1 = k // 4
+                q2 = k // 2
+                q3 = (3 * k) // 4
+                s_tri = jnp.where(l0, 0, jnp.where(l1, q1,
+                                  jnp.where(l2, q2, q3)))
+                e_tri = jnp.where(l3, k, jnp.where(l2, q3,
+                                  jnp.where(l1, q2, q1)))
+                # 2-wide iterations: kk covers tris {2kk, 2kk+1}; start floors
+                # so a boundary-straddling pair is still tested (extra tests
+                # are correct, never skipped ones).
+                return jax.lax.fori_loop(s_tri // 2, (e_tri + 1) // 2,
+                                         tri_body, best)
 
-        return jax.lax.cond(live, process, lambda b: b, best)
+            return jax.lax.cond(live, process, lambda b: b, best)
+
+        if not root_cull:
+            return quarters(best)
+        # Root-box gate: one slab test decides whether the four quarter
+        # tests (and everything below) run at all.
+        return jax.lax.cond(slab_live(0), quarters, lambda b: b, best)
 
     # Sweep only this ray block's conservatively-live clusters: the host
     # pre-pass (interval slab test over the block's o/d/tmax ranges,
@@ -428,17 +458,30 @@ def _block_live_clusters(bounds, comps, grid, tm, tmin):
 
     Returns (ids (grid, C) i32, nlive (grid, 1) i32).
     """
-    blk = tm * 128
+    # Sub-block granularity: interval-test groups of `sr` rows and OR the
+    # group results into the block decision.  Intervals over 128-2048
+    # coherent tile-order rays are loose (a block's direction cone is
+    # wide); per-row intervals are near-exact, so fewer tile-dead clusters
+    # reach the kernel's 4-slab-test loop.  Host cost is trivial
+    # (grid*nsub x C scalar interval tests in batched XLA).
+    sr = max(1, min(_SUBCULL_ROWS, tm))
+    while tm % sr:
+        sr -= 1
+    nsub = tm // sr
 
-    def rng(x):  # (rows, 128) -> per-block (grid, 1) lo/hi
-        xb = x.reshape(grid, blk)
+    def rng(x):  # (rows, 128) -> per-sub-block (grid*nsub, 1) lo/hi
+        xb = x.reshape(grid * nsub, sr * 128)
         return xb.min(1, keepdims=True), xb.max(1, keepdims=True)
 
     olo, ohi = zip(*(rng(c) for c in comps[0:3]))
     dlo, dhi = zip(*(rng(c) for c in comps[3:6]))
     _, tmx = rng(comps[6])
-    live, tn_lb = _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin,
-                                      return_tn=True)
+    live_s, tn_s = _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin,
+                                       return_tn=True)
+    C = live_s.shape[1]
+    live = live_s.reshape(grid, nsub, C).any(1)
+    tn_lb = jnp.where(live_s, tn_s, jnp.float32(np.inf)) \
+        .reshape(grid, nsub, C).min(1)
     # Front-to-back per-block ordering (r4): the kernel bounds every slab
     # test by the lanes' running best_t, so visiting a block's live
     # clusters by their conservative entry distance lets a near hit kill
@@ -568,8 +611,10 @@ def _shadow_live_clusters(bounds, comps, grid, tm, lights, mesh_lo, mesh_hi):
     return jnp.concatenate(ids_l, 0), jnp.concatenate(n_l, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tmin", "interpret"))
-def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret):
+@functools.partial(jax.jit, static_argnames=("tm", "tmin", "interpret",
+                                              "root_cull"))
+def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
+                root_cull=False):
     """Sweep rays against one segment's clusters (all SMEM-resident).
 
     o, d: [N, 3] with N % (tm*128) == 0; tmax [N] doubles as the incoming
@@ -601,7 +646,8 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret):
         jax.ShapeDtypeStruct((rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows, 128), jnp.float32),
     ]
-    kern = functools.partial(_kernel, tmin=tmin, n_clusters=n_clusters)
+    kern = functools.partial(_kernel, tmin=tmin, n_clusters=n_clusters,
+                             root_cull=root_cull)
     t, lid, u, v = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -621,13 +667,14 @@ def _mesh_intersect_core(tm, tmin, interpret, bounds, tris, o, d, tmax):
     call (tables SMEM-resident per call); segments chain through tmax and
     merge with elementwise selects."""
     C = tris.shape[0]
+    root_cull = _root_cull_on(-(-C // SEGMENT_C))
     best = None
     for s0 in range(0, C, SEGMENT_C):
         s1 = min(s0 + SEGMENT_C, C)
         cur_tmax = tmax if best is None else best[0]
         t, lid, u, v = _mesh_sweep(
             bounds[s0:s1], tris[s0:s1], o, d, cur_tmax,
-            tm=tm, tmin=tmin, interpret=interpret,
+            tm=tm, tmin=tmin, interpret=interpret, root_cull=root_cull,
         )
         lid = jnp.where(lid >= 0, lid + s0 * CLUSTER, lid)
         if best is None:
@@ -803,41 +850,48 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
         big = jnp.full(shape, 0.99 * _BIG)
 
         def closest_body(c, best):
-            live, s_tri, e_tri = quarter_span(o, d, invd, best[0], c)
+            def quarters(best):
+                live, s_tri, e_tri = quarter_span(o, d, invd, best[0], c)
 
-            def process(best):
-                def tri_body(k, best):
-                    bt, hx, hy, hz = best[0], best[1], best[2], best[3]
-                    ok, t, u, v, (e1x, e1y, e1z, e2x, e2y, e2z) = mt_one(o, d, c, k, bt)
-                    # shading normal interpolated AT hit time from scalar
-                    # vertex normals (3 vector carries instead of 9+uv)
-                    w0 = 1.0 - u - v
-                    nsx = (w0 * shade_ref[c, 0, k] + u * shade_ref[c, 3, k]
-                           + v * shade_ref[c, 6, k])
-                    nsy = (w0 * shade_ref[c, 1, k] + u * shade_ref[c, 4, k]
-                           + v * shade_ref[c, 7, k])
-                    nsz = (w0 * shade_ref[c, 2, k] + u * shade_ref[c, 5, k]
-                           + v * shade_ref[c, 8, k])
-                    # geometric normal from scalar edges (scalar-unit math)
-                    gx = e1y * e2z - e1z * e2y
-                    gy = e1z * e2x - e1x * e2z
-                    gz = e1x * e2y - e1y * e2x
-                    return (
-                        jnp.where(ok, t, bt),
-                        jnp.where(ok, nsx, hx),
-                        jnp.where(ok, nsy, hy),
-                        jnp.where(ok, nsz, hz),
-                        jnp.where(ok, gx, best[4]),
-                        jnp.where(ok, gy, best[5]),
-                        jnp.where(ok, gz, best[6]),
-                        jnp.where(ok, shade_ref[c, 9, k], best[7]),
-                        jnp.where(ok, shade_ref[c, 10, k], best[8]),
-                        jnp.where(ok, shade_ref[c, 11, k], best[9]),
-                    )
+                def process(best):
+                    def tri_body(k, best):
+                        bt, hx, hy, hz = best[0], best[1], best[2], best[3]
+                        ok, t, u, v, (e1x, e1y, e1z, e2x, e2y, e2z) = mt_one(o, d, c, k, bt)
+                        # shading normal interpolated AT hit time from scalar
+                        # vertex normals (3 vector carries instead of 9+uv)
+                        w0 = 1.0 - u - v
+                        nsx = (w0 * shade_ref[c, 0, k] + u * shade_ref[c, 3, k]
+                               + v * shade_ref[c, 6, k])
+                        nsy = (w0 * shade_ref[c, 1, k] + u * shade_ref[c, 4, k]
+                               + v * shade_ref[c, 7, k])
+                        nsz = (w0 * shade_ref[c, 2, k] + u * shade_ref[c, 5, k]
+                               + v * shade_ref[c, 8, k])
+                        # geometric normal from scalar edges (scalar-unit math)
+                        gx = e1y * e2z - e1z * e2y
+                        gy = e1z * e2x - e1x * e2z
+                        gz = e1x * e2y - e1y * e2x
+                        return (
+                            jnp.where(ok, t, bt),
+                            jnp.where(ok, nsx, hx),
+                            jnp.where(ok, nsy, hy),
+                            jnp.where(ok, nsz, hz),
+                            jnp.where(ok, gx, best[4]),
+                            jnp.where(ok, gy, best[5]),
+                            jnp.where(ok, gz, best[6]),
+                            jnp.where(ok, shade_ref[c, 9, k], best[7]),
+                            jnp.where(ok, shade_ref[c, 10, k], best[8]),
+                            jnp.where(ok, shade_ref[c, 11, k], best[9]),
+                        )
 
-                return jax.lax.fori_loop(s_tri, e_tri, tri_body, best)
+                    return jax.lax.fori_loop(s_tri, e_tri, tri_body, best)
 
-            return jax.lax.cond(live, process, lambda b: b, best)
+                return jax.lax.cond(live, process, lambda b: b, best)
+
+            # Root-box gate (single-segment scope; intersect-kernel A/B
+            # measured +20% on teapot — tools/bench_mesh.py, r4)
+            root = jnp.sum(jnp.where(
+                cull(o, d, invd, best[0], c, col=0), 1.0, 0.0)) > 0.0
+            return jax.lax.cond(root, quarters, lambda b: b, best)
 
         # Closest sweep walks only this ray block's conservatively-live
         # clusters (host interval cull, _block_live_clusters — the same
@@ -892,16 +946,25 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
             def shadow_body(c, occ_f, so=so, wl=wl, invwl=invwl,
                             tmax_s=tmax_s, valid=valid):
                 need = valid & (occ_f < 0.5)
-                live, s_tri, e_tri = quarter_span(
-                    so, wl, invwl, jnp.where(need, tmax_s, tmin), c)
+                bound = jnp.where(need, tmax_s, tmin)
 
-                def process(occ_f):
-                    def tri_body(k, occ_f):
-                        ok, _t, _u, _v, _e = mt_one(so, wl, c, k, tmax_s)
-                        return jnp.maximum(occ_f, jnp.where(ok, 1.0, 0.0))
-                    return jax.lax.fori_loop(s_tri, e_tri, tri_body, occ_f)
+                def quarters(occ_f):
+                    live, s_tri, e_tri = quarter_span(
+                        so, wl, invwl, bound, c)
 
-                return jax.lax.cond(live, process, lambda x: x, occ_f)
+                    def process(occ_f):
+                        def tri_body(k, occ_f):
+                            ok, _t, _u, _v, _e = mt_one(so, wl, c, k, tmax_s)
+                            return jnp.maximum(occ_f, jnp.where(ok, 1.0, 0.0))
+                        return jax.lax.fori_loop(s_tri, e_tri, tri_body, occ_f)
+
+                    return jax.lax.cond(live, process, lambda x: x, occ_f)
+
+                # Root-box gate: occluded/invalid lanes collapse the bound,
+                # so the single slab test retires clusters early.
+                root = jnp.sum(jnp.where(
+                    cull(so, wl, invwl, bound, c, col=0), 1.0, 0.0)) > 0.0
+                return jax.lax.cond(root, quarters, lambda x: x, occ_f)
 
             # Walk only this (block, light)'s conservatively-live clusters
             # (host segment-interval cull, _shadow_live_clusters: hit

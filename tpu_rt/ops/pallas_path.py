@@ -667,38 +667,47 @@ def _mesh_closest(mesh_refs, n_clusters, o, d, tmin, t0, prim0, n0,
     best = (t0, prim0, n0[0], n0[1], n0[2], n0[0], n0[1], n0[2])
 
     def cluster_body(c, best):
-        live, s_tri, e_tri = _mesh_quarter_span(
-            bounds_ref, o, invd, best[0], c, tmin)
+        def quarters(best):
+            live, s_tri, e_tri = _mesh_quarter_span(
+                bounds_ref, o, invd, best[0], c, tmin)
 
-        def process(best):
-            def tri_body(k, best):
-                bt = best[0]
-                ok, t, u, v, (e1x, e1y, e1z, e2x, e2y, e2z) = _mesh_mt_one(
-                    tri_ref, o, d, c, k, tmin, bt)
-                w0 = 1.0 - u - v
-                nsx = (w0 * nrm_ref[c, 0, k] + u * nrm_ref[c, 3, k]
-                       + v * nrm_ref[c, 6, k])
-                nsy = (w0 * nrm_ref[c, 1, k] + u * nrm_ref[c, 4, k]
-                       + v * nrm_ref[c, 7, k])
-                nsz = (w0 * nrm_ref[c, 2, k] + u * nrm_ref[c, 5, k]
-                       + v * nrm_ref[c, 8, k])
-                gx = e1y * e2z - e1z * e2y
-                gy = e1z * e2x - e1x * e2z
-                gz = e1x * e2y - e1y * e2x
-                return (
-                    jnp.where(ok, t, bt),
-                    jnp.where(ok, mesh_prim_id, best[1]),
-                    jnp.where(ok, nsx, best[2]),
-                    jnp.where(ok, nsy, best[3]),
-                    jnp.where(ok, nsz, best[4]),
-                    jnp.where(ok, gx, best[5]),
-                    jnp.where(ok, gy, best[6]),
-                    jnp.where(ok, gz, best[7]),
-                )
+            def process(best):
+                def tri_body(k, best):
+                    bt = best[0]
+                    ok, t, u, v, (e1x, e1y, e1z, e2x, e2y, e2z) = _mesh_mt_one(
+                        tri_ref, o, d, c, k, tmin, bt)
+                    w0 = 1.0 - u - v
+                    nsx = (w0 * nrm_ref[c, 0, k] + u * nrm_ref[c, 3, k]
+                           + v * nrm_ref[c, 6, k])
+                    nsy = (w0 * nrm_ref[c, 1, k] + u * nrm_ref[c, 4, k]
+                           + v * nrm_ref[c, 7, k])
+                    nsz = (w0 * nrm_ref[c, 2, k] + u * nrm_ref[c, 5, k]
+                           + v * nrm_ref[c, 8, k])
+                    gx = e1y * e2z - e1z * e2y
+                    gy = e1z * e2x - e1x * e2z
+                    gz = e1x * e2y - e1y * e2x
+                    return (
+                        jnp.where(ok, t, bt),
+                        jnp.where(ok, mesh_prim_id, best[1]),
+                        jnp.where(ok, nsx, best[2]),
+                        jnp.where(ok, nsy, best[3]),
+                        jnp.where(ok, nsz, best[4]),
+                        jnp.where(ok, gx, best[5]),
+                        jnp.where(ok, gy, best[6]),
+                        jnp.where(ok, gz, best[7]),
+                    )
 
-            return jax.lax.fori_loop(s_tri, e_tri, tri_body, best)
+                return jax.lax.fori_loop(s_tri, e_tri, tri_body, best)
 
-        return jax.lax.cond(live, process, lambda b: b, best)
+            return jax.lax.cond(live, process, lambda b: b, best)
+
+        # Root-box gate (1 slab test) before the four quarter tests: the
+        # megakernel's mesh scope is single-segment (teapot-class), where
+        # the intersect-kernel A/B measured +20% from root culls as the
+        # running best_t shrinks (tools/bench_mesh.py, r4).
+        return jax.lax.cond(
+            _mesh_slab_live(bounds_ref, o, invd, best[0], c, 0, tmin),
+            quarters, lambda b: b, best)
 
     best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
     t, prim_f = best[0], best[1]
@@ -732,18 +741,26 @@ def _mesh_anyhit(mesh_refs, n_clusters, o, d, tmin, tmax):
         # shrink the slab bound to tmin on occluded lanes: once every
         # lane is occluded the remaining clusters slab-test dead
         bound = jnp.where(occf > 0.0, tmin, tmax)
-        live, s_tri, e_tri = _mesh_quarter_span(
-            bounds_ref, o, invd, bound, c, tmin)
 
-        def process(occf):
-            def tri_body(k, occf):
-                ok, _t, _u, _v, _e = _mesh_mt_one(
-                    tri_ref, o, d, c, k, tmin, tmax)
-                return jnp.maximum(occf, jnp.where(ok, 1.0, 0.0))
+        def quarters(occf):
+            live, s_tri, e_tri = _mesh_quarter_span(
+                bounds_ref, o, invd, bound, c, tmin)
 
-            return jax.lax.fori_loop(s_tri, e_tri, tri_body, occf)
+            def process(occf):
+                def tri_body(k, occf):
+                    ok, _t, _u, _v, _e = _mesh_mt_one(
+                        tri_ref, o, d, c, k, tmin, tmax)
+                    return jnp.maximum(occf, jnp.where(ok, 1.0, 0.0))
 
-        return jax.lax.cond(live, process, lambda x: x, occf)
+                return jax.lax.fori_loop(s_tri, e_tri, tri_body, occf)
+
+            return jax.lax.cond(live, process, lambda x: x, occf)
+
+        # Root-box gate, as in _mesh_closest (occluded lanes collapse
+        # their bound, so late clusters root-fail once the tile is shadowed)
+        return jax.lax.cond(
+            _mesh_slab_live(bounds_ref, o, invd, bound, c, 0, tmin),
+            quarters, lambda x: x, occf)
 
     zeros = jnp.zeros(o[0].shape, jnp.float32)
     occf = jax.lax.fori_loop(0, n_clusters, cluster_body, zeros)
