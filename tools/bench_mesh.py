@@ -31,8 +31,8 @@ def bench_mesh(path, origin, target, res=512):
                  "bsdf": {"type": "diffuse"}},
     })
     g = scene.geometry
-    clusters = {"tris": g.cl_tris, "bounds": g.cl_bounds, "prim": g.cl_prim,
-                "n_tris": g.n_tris}
+    clusters = {"tris": g.cl_tris, "trisw": g.cl_trisw, "bounds": g.cl_bounds,
+                "prim": g.cl_prim, "n_tris": g.n_tris}
     perm, _ = _tile_perm(res, res)
     xy = jnp.stack(jnp.meshgrid(jnp.arange(res), jnp.arange(res),
                                 indexing="xy"), -1).reshape(-1, 2)

@@ -422,7 +422,7 @@ def _trace_mesh_pallas(geom: Geometry, o, d, tmin, tmax) -> Hit:
     tmax_b = jnp.broadcast_to(tmax, shp).reshape(-1).astype(jnp.float32)
 
     clusters = {"tris": geom.cl_tris, "bounds": geom.cl_bounds,
-                "prim": geom.cl_prim}
+                "prim": geom.cl_prim, "trisw": geom.cl_trisw}
     best_t, best_prim, best_u, best_v = pallas_mesh.mesh_intersect(
         clusters, of, df, tmin=float(tmin), tmax=tmax_b
     )

@@ -547,6 +547,7 @@ class _Builder:
             cl_tris=jnp.asarray(clusters["tris"]) if clusters else None,
             cl_bounds=jnp.asarray(clusters["bounds"]) if clusters else None,
             cl_prim=jnp.asarray(clusters["prim"]) if clusters else None,
+            cl_trisw=jnp.asarray(clusters["trisw"]) if clusters else None,
             n_tris=n_tris,
             n_analytic=n_an,
             analytic_types=tuple(sorted(set(int(t) for t in self.an["type"]))),

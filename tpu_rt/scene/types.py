@@ -112,6 +112,8 @@ class Geometry:
     cl_tris: Optional[jnp.ndarray] = None  # [C, 9, 128]
     cl_bounds: Optional[jnp.ndarray] = None  # [C, 32] (pallas_mesh.build_clusters)
     cl_prim: Optional[jnp.ndarray] = None  # [C * 128]
+    # precomputed-transform triangle table (pallas_mesh._bw_table)
+    cl_trisw: Optional[jnp.ndarray] = None  # [C, 12, 128]
 
     # Per-prim scalar parameters ([A, 2]; CURVE: [r0, r1] in object units,
     # zeros for parameter-free types).  Optional for pytree compat.

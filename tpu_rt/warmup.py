@@ -87,7 +87,8 @@ def main(full=False):
                          "bsdf": {"type": "diffuse"}},
             })
             g = sc.geometry
-            clusters = {"tris": g.cl_tris, "bounds": g.cl_bounds,
+            clusters = {"tris": g.cl_tris, "trisw": g.cl_trisw,
+                        "bounds": g.cl_bounds,
                         "prim": g.cl_prim, "n_tris": g.n_tris}
             perm, _ = _tile_perm(512, 512)
             xy = jnp.stack(jnp.meshgrid(jnp.arange(512), jnp.arange(512),
