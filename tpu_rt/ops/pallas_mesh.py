@@ -80,6 +80,31 @@ _SUBCULL_ROWS = int(os.environ.get("TPU_RT_MESH_SUBCULL_ROWS", "1"))
 # shape selects the in-kernel formula; this knob selects the table.
 _TRI_MODE = os.environ.get("TPU_RT_MESH_TRI", "bw")
 
+# Sub-tile span granularity: split each (tm, 128) ray block into `halves`
+# independent 8-row sub-tiles, each with its OWN host live-cluster list and
+# its own quarter-span sweep.  Tile lanes are divergent (bunny model,
+# tools/diag_mesh_span.py: per-8-row spans are 62.8% of the block-level
+# lane-tests; the per-lane floor is 3.7%), so finer granularity cuts VPU
+# *data* work — but MEASURED SLOWER on v5e (bunny 69.7 -> 63.5M, teapot
+# 470 -> 407M): the sweep loop is latency/issue-bound per iteration, not
+# vector-width-bound, so halving the operand height leaves iteration cost
+# flat while doubling cluster visits.  Default 1; knob kept for re-testing
+# on future TPU generations where the VPU/scalar balance differs.
+_HALVES_MODE = os.environ.get("TPU_RT_MESH_HALVES", "1")
+
+# Triangle tests per sweep-loop iteration.  Each test is one long
+# dependency chain (~12 sequential vector ops); the chains are independent
+# across triangles, so a wider unroll fills the VPU pipeline (the r3
+# 2-wide unroll bought the first step of this).
+_UNROLL = int(os.environ.get("TPU_RT_MESH_UNROLL", "4"))
+
+
+def _halves_for(tm: int, n_segments: int) -> int:
+    hv = max(1, int(_HALVES_MODE)) if _HALVES_MODE not in ("", "auto") else 1
+    while hv > 1 and (tm % hv or (tm // hv) % 8):
+        hv -= 1
+    return max(1, hv)
+
 # Hierarchical in-kernel cull: slab-test the treelet ROOT box (cols 0-5)
 # first and branch into the four quarter tests only when some lane can hit
 # it.  Clusters the root rejects pay 1 slab test instead of 4; clusters it
@@ -324,12 +349,28 @@ def _bw_table(tris):
 
 def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
             tmax_ref, t_out, lid_out, u_out, v_out, *, tmin, n_clusters,
-            root_cull):
+            root_cull, halves):
     # Hoisted: pl.program_id cannot be lowered inside fori bodies in
     # interpret mode (r3 note).
     pid = pl.program_id(0)
-    o = (ox[:], oy[:], oz[:])
-    d = (dx[:], dy[:], dz[:])
+    hr = ox.shape[0] // halves
+    # Each 8-row sub-tile sweeps independently: its own live-cluster list
+    # (host cull at sub-tile granularity) and its own quarter spans — tile
+    # lanes are divergent, so finer granularity skips real VPU work
+    # (tools/diag_mesh_span.py).  Python loop = unrolled in the program.
+    for h in range(halves):
+        _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref,
+                     ox, oy, oz, dx, dy, dz, tmax_ref,
+                     t_out, lid_out, u_out, v_out,
+                     pid * halves + h, slice(h * hr, (h + 1) * hr),
+                     tmin=tmin, root_cull=root_cull)
+
+
+def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
+                 dz, tmax_ref, t_out, lid_out, u_out, v_out, list_i, sl, *,
+                 tmin, root_cull):
+    o = (ox[sl], oy[sl], oz[sl])
+    d = (dx[sl], dy[sl], dz[sl])
 
     # Safe reciprocal direction for the slab test (sign-preserving clamp).
     def inv(x):
@@ -339,7 +380,7 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
     invd = (inv(d[0]), inv(d[1]), inv(d[2]))
 
     zeros = jnp.zeros(o[0].shape, jnp.float32)
-    best = (tmax_ref[:], jnp.full(o[0].shape, -1, jnp.int32), zeros, zeros)
+    best = (tmax_ref[sl], jnp.full(o[0].shape, -1, jnp.int32), zeros, zeros)
 
     def cluster_body(ci, best):
         c = ci
@@ -449,20 +490,34 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                 intersect_one = (intersect_one_bw if tri_ref.shape[1] == 12
                                  else intersect_one_mt)
 
+                U = max(1, _UNROLL)
+
                 def tri_body(kk, best):
-                    # 2-wide unroll: the two test chains are independent,
-                    # filling the VPU pipeline; selects merge them afterwards.
+                    # U-wide unroll: the U test chains are independent
+                    # (each ~12 sequential vector ops deep), so a wide
+                    # unroll keeps the VPU pipeline full; a select
+                    # tournament merges them afterwards.
                     bt, bl, bu, bv = best
-                    k0 = kk * 2
-                    ok0, t0, u0, v0, l0 = intersect_one(k0, bt)
-                    ok1, t1, u1, v1, l1 = intersect_one(k0 + 1, bt)
-                    # prefer the closer of the two when both hit
-                    take1 = ok1 & (~ok0 | (t1 < t0))
-                    ok = ok0 | ok1
-                    t = jnp.where(take1, t1, t0)
-                    u = jnp.where(take1, u1, u0)
-                    v = jnp.where(take1, v1, v0)
-                    lid = jnp.where(take1, l1, l0)
+                    k0 = kk * U
+                    res = [intersect_one(k0 + i, bt) for i in range(U)]
+                    # pairwise closer-hit tournament
+                    while len(res) > 1:
+                        nxt = []
+                        for i in range(0, len(res) - 1, 2):
+                            oa, ta, ua, va, la = res[i]
+                            ob, tb, ub, vb, lb = res[i + 1]
+                            tkb = ob & (~oa | (tb < ta))
+                            nxt.append((
+                                oa | ob,
+                                jnp.where(tkb, tb, ta),
+                                jnp.where(tkb, ub, ua),
+                                jnp.where(tkb, vb, va),
+                                jnp.where(tkb, lb, la),
+                            ))
+                        if len(res) % 2:
+                            nxt.append(res[-1])
+                        res = nxt
+                    ok, t, u, v, lid = res[0]
                     return (
                         jnp.where(ok, t, bt),
                         jnp.where(ok, lid, bl),
@@ -481,10 +536,10 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                                   jnp.where(l2, q2, q3)))
                 e_tri = jnp.where(l3, k, jnp.where(l2, q3,
                                   jnp.where(l1, q2, q1)))
-                # 2-wide iterations: kk covers tris {2kk, 2kk+1}; start floors
-                # so a boundary-straddling pair is still tested (extra tests
-                # are correct, never skipped ones).
-                return jax.lax.fori_loop(s_tri // 2, (e_tri + 1) // 2,
+                # U-wide iterations: kk covers tris {U*kk .. U*kk+U-1};
+                # start floors so a boundary-straddling group is still
+                # tested (extra tests are correct, never skipped ones).
+                return jax.lax.fori_loop(s_tri // U, (e_tri + U - 1) // U,
                                          tri_body, best)
 
             return jax.lax.cond(live, process, lambda b: b, best)
@@ -502,16 +557,16 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
     # dead clusters cost NOTHING in-kernel (r3 measurement: bunny spent
     # 2.94 of 7.99 ms/wave on in-kernel cull alone).
     def live_body(j, best):
-        return cluster_body(ids_ref[pid, j], best)
+        return cluster_body(ids_ref[list_i, j], best)
 
-    best = jax.lax.fori_loop(0, nlive_ref[pid, 0], live_body, best)
-    t_out[:] = best[0]
-    lid_out[:] = best[1]
-    u_out[:] = best[2]
-    v_out[:] = best[3]
+    best = jax.lax.fori_loop(0, nlive_ref[list_i, 0], live_body, best)
+    t_out[sl] = best[0]
+    lid_out[sl] = best[1]
+    u_out[sl] = best[2]
+    v_out[sl] = best[3]
 
 
-def _block_live_clusters(bounds, comps, grid, tm, tmin):
+def _block_live_clusters(bounds, comps, grid, tm, tmin, halves=1):
     """Conservative per-ray-block cluster cull on the XLA side.
 
     For each (tm, 128) ray block, interval arithmetic over the block's
@@ -532,8 +587,9 @@ def _block_live_clusters(bounds, comps, grid, tm, tmin):
     # wide); per-row intervals are near-exact, so fewer tile-dead clusters
     # reach the kernel's 4-slab-test loop.  Host cost is trivial
     # (grid*nsub x C scalar interval tests in batched XLA).
-    sr = max(1, min(_SUBCULL_ROWS, tm))
-    while tm % sr:
+    hr = tm // halves  # rows per independent sub-tile (kernel halves)
+    sr = max(1, min(_SUBCULL_ROWS, hr))
+    while hr % sr:
         sr -= 1
     nsub = tm // sr
 
@@ -547,9 +603,9 @@ def _block_live_clusters(bounds, comps, grid, tm, tmin):
     live_s, tn_s = _interval_slab_live(bounds, olo, ohi, dlo, dhi, tmx, tmin,
                                        return_tn=True)
     C = live_s.shape[1]
-    live = live_s.reshape(grid, nsub, C).any(1)
+    live = live_s.reshape(grid * halves, nsub // halves, C).any(1)
     tn_lb = jnp.where(live_s, tn_s, jnp.float32(np.inf)) \
-        .reshape(grid, nsub, C).min(1)
+        .reshape(grid * halves, nsub // halves, C).min(1)
     # Front-to-back per-block ordering (r4): the kernel bounds every slab
     # test by the lanes' running best_t, so visiting a block's live
     # clusters by their conservative entry distance lets a near hit kill
@@ -680,9 +736,9 @@ def _shadow_live_clusters(bounds, comps, grid, tm, lights, mesh_lo, mesh_hi):
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tmin", "interpret",
-                                              "root_cull"))
+                                              "root_cull", "halves"))
 def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
-                root_cull=False):
+                root_cull=False, halves=1):
     """Sweep rays against one segment's clusters (all SMEM-resident).
 
     o, d: [N, 3] with N % (tm*128) == 0; tmax [N] doubles as the incoming
@@ -698,7 +754,8 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
              jnp.broadcast_to(tmax, (n,))]
     comps = [c.reshape(rows, 128) for c in comps]
 
-    ids, nlive = _block_live_clusters(bounds, comps, grid, tm, tmin)
+    ids, nlive = _block_live_clusters(bounds, comps, grid, tm, tmin,
+                                      halves=halves)
 
     ray_block = pl.BlockSpec((tm, 128), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -715,7 +772,7 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
         jax.ShapeDtypeStruct((rows, 128), jnp.float32),
     ]
     kern = functools.partial(_kernel, tmin=tmin, n_clusters=n_clusters,
-                             root_cull=root_cull)
+                             root_cull=root_cull, halves=halves)
     t, lid, u, v = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -735,7 +792,9 @@ def _mesh_intersect_core(tm, tmin, interpret, bounds, tris, o, d, tmax):
     call (tables SMEM-resident per call); segments chain through tmax and
     merge with elementwise selects."""
     C = tris.shape[0]
-    root_cull = _root_cull_on(-(-C // SEGMENT_C))
+    n_segments = -(-C // SEGMENT_C)
+    root_cull = _root_cull_on(n_segments)
+    halves = _halves_for(tm, n_segments)
     best = None
     for s0 in range(0, C, SEGMENT_C):
         s1 = min(s0 + SEGMENT_C, C)
@@ -743,6 +802,7 @@ def _mesh_intersect_core(tm, tmin, interpret, bounds, tris, o, d, tmax):
         t, lid, u, v = _mesh_sweep(
             bounds[s0:s1], tris[s0:s1], o, d, cur_tmax,
             tm=tm, tmin=tmin, interpret=interpret, root_cull=root_cull,
+            halves=halves,
         )
         lid = jnp.where(lid >= 0, lid + s0 * CLUSTER, lid)
         if best is None:
