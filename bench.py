@@ -52,7 +52,7 @@ def main():
     # The shared-tunnel TPU's available throughput swings run to run; report
     # the MEDIAN of N full renders (CLAUDE.md rule: median-of-N with
     # block_until_ready — round 1 reported best-of-two, which overstated).
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "7"))
 
     # Renders to stream back-to-back for the throughput figure (below).
     # 16 measured 2.013B rays/s vs 1.99B at 8 (kernel_frac 0.988 vs 0.975)
@@ -80,7 +80,12 @@ def main():
             jax.block_until_ready(img)
             times.append(time.perf_counter() - t0)
             rays = int(counter())  # lazy device count -> host int (untimed)
-        lat = sorted(times)[len(times) // 2]
+        # Record the full spread (VERDICT r4 weak #3: a bare median can't
+        # distinguish a real 40 ms regression from tunnel noise).
+        ts = sorted(times)
+        lat = ts[len(ts) // 2]
+        spread = {"min": round(ts[0], 4), "median": round(lat, 4),
+                  "max": round(ts[-1], 4), "n": len(ts)}
         # (b) THROUGHPUT (headline): stream n_stream renders through JAX's
         # async dispatch queue and block once at the end.  Each render is
         # still the full public-path program (scene -> image); the queue
@@ -95,7 +100,7 @@ def main():
         jax.block_until_ready(imgs)
         dt_stream = time.perf_counter() - t0
         total = sum(int(c) for c in counts)  # untimed host sync
-        return rays, lat, total / dt_stream, dt_stream
+        return rays, lat, total / dt_stream, dt_stream, spread
 
     # Optional device trace (tpu_rt.utils.profiling; BENCH_PROFILE=<dir>)
     import contextlib
@@ -109,12 +114,12 @@ def main():
 
     with prof_ctx:
         if use_pallas:
-            total_rays, dt, stream_rps, dt_stream = timed(
+            total_rays, dt, stream_rps, dt_stream, lat_spread = timed(
                 lambda sc, spp, seed: render_public(sc, spp=spp, seed=seed),
                 lambda: render_pallas.last_ray_count,
             )
         else:
-            total_rays, dt, stream_rps, dt_stream = timed(
+            total_rays, dt, stream_rps, dt_stream, lat_spread = timed(
                 lambda sc, spp, seed: render(sc, spp=spp, seed=seed,
                                              spp_per_pass=spp_per_pass),
                 lambda: render.last_ray_count,
@@ -203,6 +208,7 @@ def main():
                 "rel_rmse_vs_cpu_golden": rel_rmse,
                 "renderer": "pallas-megakernel" if use_pallas else "xla-wavefront",
                 "median_render_s": dt,
+                "latency_spread_s": lat_spread,
                 "stream_n": n_stream,
                 "stream_wall_s": dt_stream,
                 "latency_rays_per_sec": latency_rays_per_sec,

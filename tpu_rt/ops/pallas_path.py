@@ -2194,11 +2194,12 @@ def pallas_stokes_trace(bs: BakedScene, camera, seed, tile_rows=8,
 
 def render_stokes_pallas(scene: Scene, spp=None, seed=0, tile_rows=None,
                          interpret=None, baked=None, spp_per_pass=32):
-    """Full polarized render through the Stokes megakernel.  Box/tent
-    filters accumulate IN-KERNEL (13 planes per filter offset, chunked by
-    ``spp_per_pass``); gaussian scenes (cbox_pol) run the per-sample
-    kernel with the XLA splat, where ``spp_per_pass`` is unused — either
-    way the whole render is one fused dispatch.  Returns (H, W, 4, 3);
+    """Full polarized render through the Stokes megakernel.  Box, tent
+    AND gaussian filters all accumulate IN-KERNEL (13 Stokes planes per
+    filter offset: 1/9/25 offsets respectively, chunked by
+    ``spp_per_pass``); only out-of-scope filter types fall back to the
+    per-sample kernel + XLA splat below — either way the whole render is
+    one fused dispatch.  Returns (H, W, 4, 3);
     sets render_stokes_pallas.last_ray_count (a lazy device scalar —
     int() it to read).  Raises ValueError out of scope."""
     import jax as _jax
