@@ -148,6 +148,13 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
         b_c = jnp.clip(b_idx, 0, scene.bsdf_type.shape[0] - 1)
         b_type = small_table_lookup(scene.bsdf_type, b_c)
         b_params = small_table_lookup(scene.bsdf_params, b_c)
+        if scene.has_textures:
+            # Bitmap reflectance overlay at the hit UV (bsdf/texture.py);
+            # static gate — untextured scenes compile the same program as
+            # before.  Covers NEE eval AND BSDF sampling below.
+            from tpu_rt.bsdf.texture import apply_reflectance_textures
+
+            b_params = apply_reflectance_textures(scene, b_c, b_params, si.uv)
 
         # One fused RNG draw per bounce: [0:4] NEE, [4] lobe, [5:7] bsdf 2D,
         # [7] Russian roulette.

@@ -1132,6 +1132,8 @@ def bake_direct_scene(scene):
         return None
     if g.n_analytic != 0:
         return None
+    if scene.has_textures:
+        return None  # textured reflectance reads happen in the XLA tracer
     em = scene.emitters
     if em.n_area > 0 or em.has_env or em.n_point == 0:
         return None

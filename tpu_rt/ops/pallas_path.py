@@ -218,6 +218,10 @@ def bake_scene(scene: Scene):
     g = scene.geometry
     if g.n_tris + g.n_analytic == 0:
         return None
+    if scene.has_textures:
+        # Bitmap reflectance textures are read per hit by the XLA tracer
+        # (integrator/path.py overlay); out of megakernel scope.
+        return None
     mesh = None
     if g.n_tris + g.n_analytic > _MAX_PRIMS:
         # Clustered-mesh route: triangles move to SMEM treelet tables and

@@ -10,6 +10,7 @@ NEE-ready sampling tables.
 from __future__ import annotations
 
 import math as pymath
+import os
 import warnings
 
 import jax.numpy as jnp
@@ -79,6 +80,9 @@ class _Builder:
         self.bsdf_rows = []  # (type, params[16])
         self.bsdf_index = {}  # id(dict) -> index
         self.bsdf_names = {}  # scene key -> index
+        self.bsdf_tex = []  # per-bsdf texture index (-1 = constant)
+        self.textures = []  # decoded float32 (H, W, 3) images
+        self.texture_index = {}  # abs filename -> index
         self.shape_bsdf = []
         self.shape_emitter = []
         self.shape_to_world = []
@@ -123,9 +127,20 @@ class _Builder:
             self.bsdf_index[key] = idx
             return idx
         p = np.zeros(16, np.float32)
+        tex = -1
         if btype == "diffuse":
             code = T.BSDF_DIFFUSE
-            p[0:3] = _rgb(bd.get("reflectance"), 0.5)
+            refl = bd.get("reflectance")
+            if isinstance(refl, dict) and refl.get("type") == "bitmap":
+                # Bitmap reflectance texture (Mitsuba `bitmap` plugin
+                # capability; reference assets scenes/textures/*.png).
+                tex = self._add_texture(refl)
+                # Constant fallback = texture mean (used only by paths that
+                # are out of texture scope, e.g. the Stokes kernel — the
+                # path/direct tracers read the texture per hit).
+                p[0:3] = self.textures[tex].reshape(-1, 3).mean(0)
+            else:
+                p[0:3] = _rgb(refl, 0.5)
         elif btype == "dielectric":
             code = T.BSDF_DIELECTRIC
             int_ior = bd.get("int_ior", "bk7")
@@ -159,11 +174,53 @@ class _Builder:
             raise ValueError(f"unsupported bsdf type {btype!r}")
         idx = len(self.bsdf_rows)
         self.bsdf_rows.append((code, p))
+        self.bsdf_tex.append(tex)
         self.bsdf_index[key] = idx
         if name:
             self.bsdf_names[name] = idx
         if bd.get("id"):
             self.bsdf_names[bd["id"]] = idx
+        return idx
+
+    def _add_texture(self, td):
+        """Decode + register a bitmap texture dict; returns its index.
+
+        ``raw`` follows Mitsuba's bitmap default (false => sRGB decode to
+        linear at load; the renderer works in linear radiometric units).
+        """
+        fn = td.get("filename")
+        if not fn:
+            raise ValueError("bitmap texture requires a filename")
+        key = (os.path.abspath(fn), bool(td.get("raw", False)))
+        if key in self.texture_index:
+            return self.texture_index[key]
+        ext = os.path.splitext(fn)[1].lower()
+        srgb = not td.get("raw", False)
+        if ext == ".png":
+            from tpu_rt.scene.png import read_png
+
+            img = read_png(fn, srgb=srgb)
+        elif ext in (".jpg", ".jpeg"):
+            from tpu_rt.scene.jpeg import read_jpeg
+
+            img = read_jpeg(fn, srgb=srgb)
+        elif ext == ".exr":
+            from tpu_rt.scene.exr import load_exr_or_fallback
+
+            img = load_exr_or_fallback(fn)  # EXR is already linear
+        else:
+            raise ValueError(f"unsupported texture format {ext!r} ({fn})")
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        elif img.shape[-1] == 2:  # gray + alpha -> gray rgb (alpha dropped)
+            img = np.repeat(img[..., :1], 3, axis=-1)
+        elif img.shape[-1] >= 4:
+            img = img[..., :3]
+        idx = len(self.textures)
+        self.textures.append(np.ascontiguousarray(img, np.float32))
+        self.texture_index[key] = idx
         return idx
 
     # -- Shapes --------------------------------------------------------------
@@ -564,9 +621,28 @@ class _Builder:
             else np.zeros((0, 16), np.float32)
         )
 
+        # Padded texture atlas (bsdf/texture.py conventions).
+        tex_data = tex_hw = bsdf_tex = None
+        has_textures = bool(self.textures)
+        if has_textures:
+            hm = max(t.shape[0] for t in self.textures)
+            wm = max(t.shape[1] for t in self.textures)
+            atlas = np.zeros((len(self.textures), hm, wm, 3), np.float32)
+            hw = np.zeros((len(self.textures), 2), np.float32)
+            for i, t in enumerate(self.textures):
+                atlas[i, : t.shape[0], : t.shape[1]] = t
+                hw[i] = (t.shape[0], t.shape[1])
+            tex_data = jnp.asarray(atlas)
+            tex_hw = jnp.asarray(hw)
+            bsdf_tex = jnp.asarray(np.asarray(self.bsdf_tex, np.int32))
+
         return Scene(
             geometry=geometry,
             emitters=emitters,
+            tex_data=tex_data,
+            tex_hw=tex_hw,
+            bsdf_tex=bsdf_tex,
+            has_textures=has_textures,
             shape_bsdf=jnp.asarray(np.asarray(self.shape_bsdf, np.int32)),
             shape_emitter=jnp.asarray(np.asarray(self.shape_emitter, np.int32)),
             shape_to_world=jnp.asarray(

@@ -241,9 +241,20 @@ class Scene:
     camera: Optional[Camera] = None
     ultrasound: Optional[UltrasoundConfig] = None
 
+    # Bitmap textures bound to BSDF reflectance (the reference's consumed
+    # Mitsuba `bitmap` texture capability; assets at
+    # /root/reference/scenes/textures/).  One padded atlas + true sizes;
+    # per-BSDF texture index (-1 = constant).  See bsdf/texture.py.
+    tex_data: Optional[jnp.ndarray] = None  # [K, Hm, Wm, 3]
+    tex_hw: Optional[jnp.ndarray] = None  # [K, 2] float32 (h, w)
+    bsdf_tex: Optional[jnp.ndarray] = None  # [B] int32
+
     # Static set of BSDF type codes present — lets the SoA dispatch skip
     # absent lobes at trace time (bsdf/eval.py ``present`` argument).
     bsdf_types_present: tuple = flax.struct.field(pytree_node=False, default=())
+    # Static flag: any bitmap texture present (gates the per-lane texture
+    # overlay at trace time AND the Pallas megakernel scope check).
+    has_textures: bool = flax.struct.field(pytree_node=False, default=False)
     integrator: int = flax.struct.field(pytree_node=False, default=INTEGRATOR_PATH)
     max_depth: int = flax.struct.field(pytree_node=False, default=-1)
     rr_depth: int = flax.struct.field(pytree_node=False, default=5)
