@@ -35,7 +35,7 @@ def main():
     for name, kwargs, spp in SCENES:
         path = f"/root/reference/scenes/{name}"
         scene = tpu_rt.load_file(path, **kwargs)
-        use_spp = spp if spp is not None else (scene.spp or 4)
+        use_spp = spp if spp is not None else (scene.camera.spp or 4)
         img = tpu_rt.render(scene, spp=use_spp, seed=123)
         jax.block_until_ready(img)
         times = []

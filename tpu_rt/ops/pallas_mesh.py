@@ -50,12 +50,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CLUSTER = 128          # triangles per cluster (lane dim)
-# Clusters per kernel call: the whole (SEGMENT_C, 9, 128) table rides the
+# Clusters per kernel call: the whole (SEGMENT_C*rows, 128) table rides the
 # scalar-prefetch operand, SMEM-resident across ALL grid steps.  Streaming
 # it as blocked SMEM inputs instead (round-2 first attempt) bottlenecked on
 # SMEM DMA bandwidth: a do-nothing kernel took as long as the full sweep.
-# 64 clusters = 288 KiB (SMEM is 1 MiB on v5e; >=128 clusters OOMs).
-SEGMENT_C = 64
+# Tables are flattened to 2D at the pallas_call boundary (r5): Mosaic
+# stores each 2D slice of a 3D operand in (8,128) tiles, so the old
+# (C, 9, 128) layout padded 9 rows to 16 — the "64 clusters = 288 KiB"
+# r2 estimate was actually 512 KiB on-chip.  Flat: 64 BW clusters = 384K,
+# 128 = 768K of the 1 MiB (v5e).
+SEGMENT_C = int(os.environ.get("TPU_RT_MESH_SEGMENT_C", "64"))
 CHUNK_C = 16           # cluster-count padding granularity
 # Ray-tile rows: 16 rows x 128 lanes = 2048 rays/block.  Measured on v5e
 # (512^2 tile-ordered primary rays, slope timing, tools/bench_mesh.py,
@@ -349,7 +353,7 @@ def _bw_table(tris):
 
 def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
             tmax_ref, t_out, lid_out, u_out, v_out, *, tmin, n_clusters,
-            root_cull, halves):
+            root_cull, halves, tri_rows):
     # Hoisted: pl.program_id cannot be lowered inside fori bodies in
     # interpret mode (r3 note).
     pid = pl.program_id(0)
@@ -363,12 +367,12 @@ def _kernel(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                      ox, oy, oz, dx, dy, dz, tmax_ref,
                      t_out, lid_out, u_out, v_out,
                      pid * halves + h, slice(h * hr, (h + 1) * hr),
-                     tmin=tmin, root_cull=root_cull)
+                     tmin=tmin, root_cull=root_cull, tri_rows=tri_rows)
 
 
 def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                  dz, tmax_ref, t_out, lid_out, u_out, v_out, list_i, sl, *,
-                 tmin, root_cull):
+                 tmin, root_cull, tri_rows):
     o = (ox[sl], oy[sl], oz[sl])
     d = (dx[sl], dy[sl], dz[sl])
 
@@ -419,16 +423,24 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
             live = l0 | l1 | l2 | l3
 
             def process(best):
+                # Cluster tables are FLATTENED to (C*rows, 128) at the
+                # pallas_call boundary: Mosaic stores each 2D SMEM slice in
+                # (8, 128) tiles, so a (C, 9, 128) operand pads 9 -> 16 rows
+                # per cluster (+78% SMEM; the r4 treelet auto-tune pushed the
+                # direct kernel to 1.13 MiB and OOMed simple.xml on
+                # hardware).  The flat layout is exact-size.
+                base = ci * tri_rows
+
                 def intersect_one_bw(k, bt):
                     """One precomputed-transform (Baldwin-Weber) test from
                     the 12-row table (_bw_table): ~25 VPU ops vs ~45 for
                     Moller-Trumbore; returns (ok, t, u, v, lid)."""
-                    nx = tri_ref[ci, 0, k]
-                    ny = tri_ref[ci, 1, k]
-                    nz = tri_ref[ci, 2, k]
-                    tvx = o[0] - tri_ref[ci, 3, k]
-                    tvy = o[1] - tri_ref[ci, 4, k]
-                    tvz = o[2] - tri_ref[ci, 5, k]
+                    nx = tri_ref[base + 0, k]
+                    ny = tri_ref[base + 1, k]
+                    nz = tri_ref[base + 2, k]
+                    tvx = o[0] - tri_ref[base + 3, k]
+                    tvy = o[1] - tri_ref[base + 4, k]
+                    tvz = o[2] - tri_ref[base + 5, k]
                     den = nx * d[0] + ny * d[1] + nz * d[2]
                     den_safe = jnp.where(
                         jnp.abs(den) < 1e-12,
@@ -438,10 +450,10 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                     qx = tvx + t * d[0]
                     qy = tvy + t * d[1]
                     qz = tvz + t * d[2]
-                    u = (tri_ref[ci, 6, k] * qx + tri_ref[ci, 7, k] * qy
-                         + tri_ref[ci, 8, k] * qz)
-                    v = (tri_ref[ci, 9, k] * qx + tri_ref[ci, 10, k] * qy
-                         + tri_ref[ci, 11, k] * qz)
+                    u = (tri_ref[base + 6, k] * qx + tri_ref[base + 7, k] * qy
+                         + tri_ref[base + 8, k] * qz)
+                    v = (tri_ref[base + 9, k] * qx + tri_ref[base + 10, k] * qy
+                         + tri_ref[base + 11, k] * qz)
                     ok = (
                         (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                         & (t > tmin) & (t < bt)
@@ -452,15 +464,15 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                     """One scalar-splat Moller-Trumbore test; returns
                     (ok, t, u, v, lid) without the select chain (so unrolled
                     iterations run as independent instruction chains)."""
-                    p0x = tri_ref[ci, 0, k]
-                    p0y = tri_ref[ci, 1, k]
-                    p0z = tri_ref[ci, 2, k]
-                    e1x = tri_ref[ci, 3, k]
-                    e1y = tri_ref[ci, 4, k]
-                    e1z = tri_ref[ci, 5, k]
-                    e2x = tri_ref[ci, 6, k]
-                    e2y = tri_ref[ci, 7, k]
-                    e2z = tri_ref[ci, 8, k]
+                    p0x = tri_ref[base + 0, k]
+                    p0y = tri_ref[base + 1, k]
+                    p0z = tri_ref[base + 2, k]
+                    e1x = tri_ref[base + 3, k]
+                    e1y = tri_ref[base + 4, k]
+                    e1z = tri_ref[base + 5, k]
+                    e2x = tri_ref[base + 6, k]
+                    e2y = tri_ref[base + 7, k]
+                    e2z = tri_ref[base + 8, k]
 
                     pvx = d[1] * e2z - d[2] * e2y
                     pvy = d[2] * e2x - d[0] * e2z
@@ -486,8 +498,8 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                     )
                     return ok, t, u, v, c * CLUSTER + k
 
-                # table shape picks the formula: 12 rows = BW, 9 rows = MT
-                intersect_one = (intersect_one_bw if tri_ref.shape[1] == 12
+                # static row count picks the formula: 12 rows = BW, 9 = MT
+                intersect_one = (intersect_one_bw if tri_rows == 12
                                  else intersect_one_mt)
 
                 U = max(1, _UNROLL)
@@ -749,6 +761,9 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
     rows = n // 128
     grid = rows // tm
     n_clusters = tris.shape[0]
+    tri_rows = tris.shape[1]
+    # Flat (C*rows, 128) SMEM layout: exact-size (see _kernel_half note).
+    tris = tris.reshape(n_clusters * tri_rows, 128)
 
     comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
              jnp.broadcast_to(tmax, (n,))]
@@ -772,7 +787,8 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
         jax.ShapeDtypeStruct((rows, 128), jnp.float32),
     ]
     kern = functools.partial(_kernel, tmin=tmin, n_clusters=n_clusters,
-                             root_cull=root_cull, halves=halves)
+                             root_cull=root_cull, halves=halves,
+                             tri_rows=tri_rows)
     t, lid, u, v = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -945,15 +961,17 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
             return l0 | l1 | l2 | l3, s_tri, e_tri
 
         def mt_one(o, d, ci, k, bt):
-            p0x = tri_ref[ci, 0, k]
-            p0y = tri_ref[ci, 1, k]
-            p0z = tri_ref[ci, 2, k]
-            e1x = tri_ref[ci, 3, k]
-            e1y = tri_ref[ci, 4, k]
-            e1z = tri_ref[ci, 5, k]
-            e2x = tri_ref[ci, 6, k]
-            e2y = tri_ref[ci, 7, k]
-            e2z = tri_ref[ci, 8, k]
+            # tables ride flattened (C*rows, 128) — see _kernel_half note
+            tb = ci * 9
+            p0x = tri_ref[tb + 0, k]
+            p0y = tri_ref[tb + 1, k]
+            p0z = tri_ref[tb + 2, k]
+            e1x = tri_ref[tb + 3, k]
+            e1y = tri_ref[tb + 4, k]
+            e1z = tri_ref[tb + 5, k]
+            e2x = tri_ref[tb + 6, k]
+            e2y = tri_ref[tb + 7, k]
+            e2z = tri_ref[tb + 8, k]
             pvx = d[1] * e2z - d[2] * e2y
             pvy = d[2] * e2x - d[0] * e2z
             pvz = d[0] * e2y - d[1] * e2x
@@ -989,12 +1007,16 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
                         # shading normal interpolated AT hit time from scalar
                         # vertex normals (3 vector carries instead of 9+uv)
                         w0 = 1.0 - u - v
-                        nsx = (w0 * shade_ref[c, 0, k] + u * shade_ref[c, 3, k]
-                               + v * shade_ref[c, 6, k])
-                        nsy = (w0 * shade_ref[c, 1, k] + u * shade_ref[c, 4, k]
-                               + v * shade_ref[c, 7, k])
-                        nsz = (w0 * shade_ref[c, 2, k] + u * shade_ref[c, 5, k]
-                               + v * shade_ref[c, 8, k])
+                        sb = c * 12
+                        nsx = (w0 * shade_ref[sb + 0, k]
+                               + u * shade_ref[sb + 3, k]
+                               + v * shade_ref[sb + 6, k])
+                        nsy = (w0 * shade_ref[sb + 1, k]
+                               + u * shade_ref[sb + 4, k]
+                               + v * shade_ref[sb + 7, k])
+                        nsz = (w0 * shade_ref[sb + 2, k]
+                               + u * shade_ref[sb + 5, k]
+                               + v * shade_ref[sb + 8, k])
                         # geometric normal from scalar edges (scalar-unit math)
                         gx = e1y * e2z - e1z * e2y
                         gy = e1z * e2x - e1x * e2z
@@ -1007,9 +1029,9 @@ def _build_direct_kernel(lights, tmin, n_clusters, grid):
                             jnp.where(ok, gx, best[4]),
                             jnp.where(ok, gy, best[5]),
                             jnp.where(ok, gz, best[6]),
-                            jnp.where(ok, shade_ref[c, 9, k], best[7]),
-                            jnp.where(ok, shade_ref[c, 10, k], best[8]),
-                            jnp.where(ok, shade_ref[c, 11, k], best[9]),
+                            jnp.where(ok, shade_ref[sb + 9, k], best[7]),
+                            jnp.where(ok, shade_ref[sb + 10, k], best[8]),
+                            jnp.where(ok, shade_ref[sb + 11, k], best[9]),
                         )
 
                     return jax.lax.fori_loop(s_tri, e_tri, tri_body, best)
@@ -1281,7 +1303,12 @@ def _direct_render_setup(scene, tm, interpret, baked):
         1.0, jnp.maximum(jnp.abs(mesh_lo).max(), jnp.abs(mesh_hi).max())
     )
     mesh_box = jnp.stack([mesh_lo - box_pad, mesh_hi + box_pad])
-    args = (jnp.asarray(g.cl_bounds), jnp.asarray(g.cl_tris), shade,
+    # Tables flattened to (C*rows, 128): Mosaic pads each 2D slice of a 3D
+    # SMEM operand to (8,128) tiles, which OOMed SMEM at 64 clusters (the
+    # 9- and 12-row tables padded to 16 rows each = 2x512K of the 1 MiB).
+    args = (jnp.asarray(g.cl_bounds),
+            jnp.asarray(g.cl_tris).reshape(-1, 128),
+            jnp.asarray(shade).reshape(-1, 128),
             scene.camera, mesh_box)
     return fn, args, H, W
 

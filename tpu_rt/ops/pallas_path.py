@@ -623,16 +623,19 @@ def _mesh_quarter_span(bounds_ref, o, invd, best_t, c, tmin):
 
 def _mesh_mt_one(tri_ref, o, d, ci, k, tmin, bt):
     """One scalar-splat Moller-Trumbore test against cluster ci lane k;
-    returns (ok, t, u, v, edges)."""
-    p0x = tri_ref[ci, 0, k]
-    p0y = tri_ref[ci, 1, k]
-    p0z = tri_ref[ci, 2, k]
-    e1x = tri_ref[ci, 3, k]
-    e1y = tri_ref[ci, 4, k]
-    e1z = tri_ref[ci, 5, k]
-    e2x = tri_ref[ci, 6, k]
-    e2y = tri_ref[ci, 7, k]
-    e2z = tri_ref[ci, 8, k]
+    returns (ok, t, u, v, edges).  tri_ref is the FLATTENED (C*9, 128)
+    SMEM table (_mesh_args: 3D operands pad each (9,128) slice to (16,128)
+    tiles, +78% SMEM)."""
+    tb = ci * 9
+    p0x = tri_ref[tb + 0, k]
+    p0y = tri_ref[tb + 1, k]
+    p0z = tri_ref[tb + 2, k]
+    e1x = tri_ref[tb + 3, k]
+    e1y = tri_ref[tb + 4, k]
+    e1z = tri_ref[tb + 5, k]
+    e2x = tri_ref[tb + 6, k]
+    e2y = tri_ref[tb + 7, k]
+    e2z = tri_ref[tb + 8, k]
     pvx = d[1] * e2z - d[2] * e2y
     pvy = d[2] * e2x - d[0] * e2z
     pvz = d[0] * e2y - d[1] * e2x
@@ -681,12 +684,13 @@ def _mesh_closest(mesh_refs, n_clusters, o, d, tmin, t0, prim0, n0,
                     ok, t, u, v, (e1x, e1y, e1z, e2x, e2y, e2z) = _mesh_mt_one(
                         tri_ref, o, d, c, k, tmin, bt)
                     w0 = 1.0 - u - v
-                    nsx = (w0 * nrm_ref[c, 0, k] + u * nrm_ref[c, 3, k]
-                           + v * nrm_ref[c, 6, k])
-                    nsy = (w0 * nrm_ref[c, 1, k] + u * nrm_ref[c, 4, k]
-                           + v * nrm_ref[c, 7, k])
-                    nsz = (w0 * nrm_ref[c, 2, k] + u * nrm_ref[c, 5, k]
-                           + v * nrm_ref[c, 8, k])
+                    nb = c * 9  # nrm_ref flattened (C*9, 128), see _mesh_args
+                    nsx = (w0 * nrm_ref[nb + 0, k] + u * nrm_ref[nb + 3, k]
+                           + v * nrm_ref[nb + 6, k])
+                    nsy = (w0 * nrm_ref[nb + 1, k] + u * nrm_ref[nb + 4, k]
+                           + v * nrm_ref[nb + 7, k])
+                    nsz = (w0 * nrm_ref[nb + 2, k] + u * nrm_ref[nb + 5, k]
+                           + v * nrm_ref[nb + 8, k])
                     gx = e1y * e2z - e1z * e2y
                     gy = e1z * e2x - e1x * e2z
                     gz = e1x * e2y - e1y * e2x
@@ -1979,8 +1983,11 @@ def _mesh_args(bs):
     mesh-less scenes)."""
     if bs.mesh is None:
         return ()
-    return (jnp.asarray(bs.mesh["bounds"]), jnp.asarray(bs.mesh["tris"]),
-            jnp.asarray(bs.mesh["nrm"]))
+    # tris/nrm flattened to (C*9, 128): Mosaic stores each 2D slice of a 3D
+    # SMEM operand in (8,128) tiles, padding 9 rows to 16 (+78% SMEM).
+    return (jnp.asarray(bs.mesh["bounds"]),
+            jnp.asarray(bs.mesh["tris"]).reshape(-1, 128),
+            jnp.asarray(bs.mesh["nrm"]).reshape(-1, 128))
 
 
 def pallas_path_trace(bs: BakedScene, o, d, seed, tile_rows=8, interpret=False):
