@@ -58,8 +58,14 @@ CLUSTER = 128          # triangles per cluster (lane dim)
 # stores each 2D slice of a 3D operand in (8,128) tiles, so the old
 # (C, 9, 128) layout padded 9 rows to 16 — the "64 clusters = 288 KiB"
 # r2 estimate was actually 512 KiB on-chip.  Flat: 64 BW clusters = 384K,
-# 128 = 768K of the 1 MiB (v5e).
-SEGMENT_C = int(os.environ.get("TPU_RT_MESH_SEGMENT_C", "64"))
+# 128 = 768K of the 1 MiB (v5e).  128 measured bunny 85.4M vs 77.9M at
+# 64 (fewer per-segment launches + host culls; teapot single-segment
+# either way, r5 A/B on v5e).
+SEGMENT_C = int(os.environ.get("TPU_RT_MESH_SEGMENT_C", "128"))
+# The fused DIRECT kernel carries tris (9 rows) + shade (12 rows) + the
+# shadow live-lists together, so its single-segment scope keeps the
+# tighter 64-cluster cap (9216 B/cluster -> 128 would OOM the 1 MiB).
+DIRECT_C = 64
 CHUNK_C = 16           # cluster-count padding granularity
 # Ray-tile rows: 16 rows x 128 lanes = 2048 rays/block.  Measured on v5e
 # (512^2 tile-ordered primary rays, slope timing, tools/bench_mesh.py,
@@ -903,7 +909,7 @@ def mesh_intersect(clusters, o, d, tmin=1e-4, tmax=None, tm=DEFAULT_TM,
 # point light, then Lambert shading.  All lights are summed (the XLA path
 # samples 1-of-L; equal in expectation).
 #
-# Scope: single-segment cluster tables (<= SEGMENT_C clusters = 8192 tris),
+# Scope: single-segment cluster tables (<= DIRECT_C clusters = 8192 tris),
 # all-diffuse BSDFs, point lights only.  Outside that, callers fall back to
 # the two-phase path.
 
@@ -1150,7 +1156,7 @@ def bake_direct_scene(scene):
     from tpu_rt.scene.types import BSDF_DIFFUSE, INTEGRATOR_DIRECT
 
     g = scene.geometry
-    if g.cl_tris is None or g.cl_tris.shape[0] > SEGMENT_C:
+    if g.cl_tris is None or g.cl_tris.shape[0] > DIRECT_C:
         return None
     if g.n_analytic != 0:
         return None

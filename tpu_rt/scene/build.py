@@ -569,9 +569,13 @@ class _Builder:
             # count (bunny measured 62.3M at 128 vs 56.1M at 64), so only
             # meshes whose 64-tri treelets still fit ONE SMEM segment
             # take the smaller size (tools/sweep_mesh_clsize.py).
-            max_count = 64 if len(
-                _treelet_ranges(bvh, n_tris, max_count=64)
-            ) <= SEGMENT_C else 128
+            tl_env = os.environ.get("TPU_RT_MESH_TREELET", "")
+            if tl_env:
+                max_count = int(tl_env)
+            else:
+                max_count = 64 if len(
+                    _treelet_ranges(bvh, n_tris, max_count=64)
+                ) <= SEGMENT_C else 128
             clusters = build_clusters(
                 tri_p0, cat("e1", 3), cat("e2", 3), bvh=bvh,
                 max_count=max_count,
