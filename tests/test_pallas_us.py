@@ -156,3 +156,35 @@ def test_us_render_use_pallas_differentiable(ref_us_scenes):
         assert np.abs(g).sum() > 0
     finally:
         pu.simulate_acquisition_pallas = orig
+
+
+def test_us_render_fast_matches_eager(ref_us_scenes):
+    """us_render_fast (one cached jitted dispatch, traced seed) equals the
+    eager pipeline on both acquisition routes, and reseeding reuses the
+    SAME compiled closure (no retrace per frame — the 8.3 s/frame eager
+    regression caught by tools/bench_us_e2e.py)."""
+    import os
+
+    from tpu_rt.us.pipeline import _US_RENDER_CACHE, us_render, us_render_fast
+
+    scene = tpu_rt.load_file(os.path.join(ref_us_scenes, "Plane_Floating.xml"))
+    kw = dict(x_bounds=(-0.004, 0.004), z_bounds=(0.0002, 0.0016))
+
+    for use_pallas in (False, True):  # pallas route auto-interprets on CPU
+        img_e, ch_e, _ = us_render(scene, seed=3, rays_per_pair=2,
+                                   use_pallas=use_pallas, **kw)
+        n0 = len(_US_RENDER_CACHE)
+        img_f, ch_f, _ = us_render_fast(scene, seed=3, rays_per_pair=2,
+                                        use_pallas=use_pallas, **kw)
+        np.testing.assert_allclose(np.asarray(ch_e), np.asarray(ch_f),
+                                   rtol=2e-5, atol=1e-6)
+        # log10 near the noise floor amplifies program-form ulp noise
+        # (CLAUDE.md: eager vs jit XLA CPU programs differ at ulp level);
+        # measured max |diff| 4.5e-5 on the [0,1] compressed image.
+        np.testing.assert_allclose(np.asarray(img_e), np.asarray(img_f),
+                                   rtol=2e-3, atol=2e-4)
+        # new seed: same closure (cache did not grow), different sample
+        ch_f2 = us_render_fast(scene, seed=4, rays_per_pair=2,
+                               use_pallas=use_pallas, **kw)[1]
+        assert len(_US_RENDER_CACHE) == n0 + 1
+        assert not np.allclose(np.asarray(ch_f), np.asarray(ch_f2))

@@ -492,7 +492,7 @@ def simulate_acquisition_pallas(scene: Scene, seed=0, rays_per_pair=1,
 # Differentiable wrapper: kernel primal, XLA-path gradient
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def simulate_acquisition_fastgrad(scene: Scene, seed=0, rays_per_pair=1,
                                   interpret=False):
     """Acquisition with the megakernel primal and an XLA-path VJP.
@@ -518,23 +518,28 @@ def simulate_acquisition_fastgrad(scene: Scene, seed=0, rays_per_pair=1,
 
 
 def _fastgrad_fwd(scene, seed, rays_per_pair, interpret):
-    # (fwd keeps the primal's signature; only bwd gets nondiff args first)
+    # (fwd keeps the primal's signature; only bwd gets nondiff args first.
+    # seed is a DIFF arg so jitted callers may trace it — its cotangent is
+    # the int-typed float0 zero; it rides to bwd as a residual.)
     out = simulate_acquisition_pallas(
         scene, seed=seed, rays_per_pair=rays_per_pair, interpret=interpret
     )
-    return out, scene
+    return out, (scene, seed)
 
 
-def _fastgrad_bwd(seed, rays_per_pair, interpret, scene, g):
+def _fastgrad_bwd(rays_per_pair, interpret, res, g):
     from tpu_rt.integrator.ultrasound import simulate_acquisition
 
+    scene, seed = res
     _, vjp = jax.vjp(
         lambda s: simulate_acquisition(
             s, seed=seed, rays_per_pair=rays_per_pair
         ),
         scene,
     )
-    return vjp(g)
+    (d_scene,) = vjp(g)
+    seed_ct = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return (d_scene, seed_ct)
 
 
 simulate_acquisition_fastgrad.defvjp(_fastgrad_fwd, _fastgrad_bwd)
