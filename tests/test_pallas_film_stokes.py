@@ -37,13 +37,36 @@ def test_public_render_dispatches_to_megakernel(cbox8, interpret_on):
 
 
 def test_public_render_falls_back_out_of_scope(interpret_on):
-    """Out-of-kernel-scope scenes (teapot: too many prims) keep rendering
-    through the XLA wavefront path."""
-    scene = tpu_rt.load_file("/root/reference/scenes/simple.xml", res=8, spp=1)
+    """Out-of-kernel-scope scenes keep rendering through the XLA wavefront
+    path.  (simple.xml's teapot moved INTO megakernel scope in r5 via the
+    clustered-mesh tables, so the probe is a bitmap-textured scene —
+    per-hit texture reads are the one capability the kernel defers to the
+    XLA tracer, pallas_path.bake_scene has_textures gate.)"""
+    scene = tpu_rt.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": tpu_rt.ScalarTransform4f().look_at(
+                origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 8, "height": 8},
+        },
+        "wall": {
+            "type": "rectangle",
+            "to_world": tpu_rt.ScalarTransform4f().scale([2, 2, 1]),
+            "bsdf": {"type": "diffuse", "reflectance": {
+                "type": "bitmap",
+                "filename": "/root/reference/scenes/textures/image_001.png",
+            }},
+        },
+        "light": {"type": "point", "position": [0, 0, 3],
+                  "intensity": 30.0 * np.ones(3)},
+    })
     assert pp.bake_scene(scene) is None
     img = np.asarray(tpu_rt.render(scene, spp=1, seed=0))
     assert img.shape == (8, 8, 3)
     assert np.isfinite(img).all()
+    assert img.max() > 0.0
 
 
 def test_film_kernel_equals_per_sample_splat(cbox8):
