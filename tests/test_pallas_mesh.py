@@ -304,3 +304,43 @@ def test_mixed_mesh_analytic_dispatch_matches_chunked():
                                rtol=1e-5, atol=1e-6)
     # the sphere must actually win on some rays
     assert (np.asarray(hit_k.prim) >= g.n_tris).any()
+
+
+def test_gi_sort_order_is_permutation(teapot_scene):
+    g = teapot_scene.geometry
+    o, d = _rays_at_mesh(g, 777, seed=5)
+    order, inv = trace.gi_sort_order(g, o, d)
+    order, inv = np.asarray(order), np.asarray(inv)
+    n = o.shape[0]
+    assert sorted(order.tolist()) == list(range(n))
+    np.testing.assert_array_equal(order[inv], np.arange(n))
+    # keys are actually grouped: sorted key sequence is non-decreasing
+    lo = np.asarray(g.cl_bounds)[:, 0:3].min(0)
+    hi = np.asarray(g.cl_bounds)[np.asarray(g.cl_bounds)[:, 6] > 0, 3:6].max(0)
+    q = np.clip(np.floor((np.asarray(o) - lo) / (hi - lo) * 4), 0, 3)
+    cell = (q[:, 0] * 4 + q[:, 1]) * 4 + q[:, 2]
+    oct_ = ((np.asarray(d) > 0) * np.array([4, 2, 1])).sum(1)
+    key = cell * 8 + oct_
+    assert (np.diff(key[order]) >= 0).all()
+
+
+def test_gi_sort_render_exact(teapot_scene, monkeypatch):
+    """path_trace with the coherence sort forced ON equals the unsorted
+    render: the sort->intersect->unsort round trip is exact per ray (the
+    kernel's block culls are conservative), so only XLA program-shape ulp
+    noise can differ (CLAUDE.md: allclose, not array_equal, on CPU)."""
+    import jax
+
+    from tpu_rt.integrator.path import path_trace
+
+    g = teapot_scene.geometry
+    o, d = _rays_at_mesh(g, 512, seed=9)
+    key = jax.random.PRNGKey(0)
+
+    monkeypatch.setenv("TPU_RT_GI_SORT", "0")
+    L0, n0 = path_trace(teapot_scene, o, d, key, max_depth=3)
+    monkeypatch.setenv("TPU_RT_GI_SORT", "1")
+    L1, n1 = path_trace(teapot_scene, o, d, key, max_depth=3)
+    assert int(n0) == int(n1)
+    np.testing.assert_allclose(np.asarray(L0), np.asarray(L1),
+                               rtol=2e-5, atol=1e-6)

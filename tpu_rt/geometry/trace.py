@@ -457,6 +457,41 @@ def _trace_mesh_pallas(geom: Geometry, o, d, tmin, tmax) -> Hit:
     )
 
 
+def gi_sort_order(geom: Geometry, o, d):
+    """Coherence permutation for divergent (secondary-bounce) rays on
+    clustered-mesh scenes: stable argsort by (origin cell in the mesh
+    AABB, direction octant).
+
+    The cluster kernel's culling is per (tm, 128)-ray BLOCK (host interval
+    cull + in-kernel slab tests, ops/pallas_mesh.py) — a block's cost is
+    the union of its lanes' live clusters.  Primary tiles are coherent by
+    construction (``_tile_perm``), but cosine-hemisphere bounce rays
+    scatter each block over the whole sphere of directions, so every block
+    sweeps most of the mesh.  Grouping rays that start in the same region
+    AND leave in the same direction octant shrinks each block's corridor
+    to a compact beam again.  Per-ray results are order-independent, so
+    sort -> intersect -> unsort is exact (no estimator change).
+
+    Returns (order, inv_order); apply as x[order] in, y[inv_order] out.
+    """
+    # Mesh AABB over LIVE clusters only (pad clusters carry far-point
+    # boxes — see build_clusters; including them would flatten the grid).
+    live = geom.cl_bounds[:, 6] > 0.0
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(live[:, None], geom.cl_bounds[:, 0:3], big), axis=0)
+    hi = jnp.max(jnp.where(live[:, None], geom.cl_bounds[:, 3:6], -big), axis=0)
+    inv_ext = 4.0 / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(jnp.floor((o - lo) * inv_ext), 0.0, 3.0).astype(jnp.int32)
+    cell = (q[:, 0] * 4 + q[:, 1]) * 4 + q[:, 2]
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    order = jnp.argsort(cell * 8 + octant, stable=True)
+    return order, jnp.argsort(order, stable=True)
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------

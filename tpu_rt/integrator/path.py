@@ -80,6 +80,41 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
         n_iters = max(depth_cap - 1, 1)
     rr_start = scene.rr_depth if rr_depth is None else rr_depth
 
+    # Divergent-ray coherence sort (trace.gi_sort_order): on clustered-mesh
+    # scenes, bounce/shadow rays are stably re-ordered by (origin cell,
+    # direction octant) around each intersect call so the mesh kernel's
+    # per-block culls see compact beams instead of full-sphere scatter.
+    # Exact (per-ray results, sort->unsort) — gated to MULTI-segment meshes
+    # (bunny-class), where block corridors dominate; single-segment meshes
+    # (teapot) measured sweep-iteration-bound, not corridor-bound.
+    import os as _os
+
+    _sort_env = _os.environ.get("TPU_RT_GI_SORT", "auto")
+    if _sort_env == "0" or scene.geometry.cl_tris is None:
+        gi_sort = False
+    elif _sort_env == "auto":
+        from tpu_rt.ops.pallas_mesh import SEGMENT_C
+
+        gi_sort = scene.geometry.cl_bounds.shape[0] > SEGMENT_C
+    else:
+        gi_sort = True
+
+    def _intersect(o, d):
+        if not gi_sort:
+            return trace.ray_intersect(scene, o, d)
+        order, inv = trace.gi_sort_order(scene.geometry, o, d)
+        hit_s = trace.ray_intersect_hit(scene.geometry, o[order], d[order])
+        hit = jax.tree_util.tree_map(lambda x: x[inv], hit_s)
+        return trace.compute_interaction(scene, o, d, hit)
+
+    def _shadow_test(geom, o, d, tmax):
+        if not gi_sort or geom.cl_tris is None:
+            return trace.ray_test(geom, o, d, tmin=trace.RAY_EPS, tmax=tmax)
+        order, inv = trace.gi_sort_order(geom, o, d)
+        occ_s = trace.ray_test(geom, o[order], d[order], tmin=trace.RAY_EPS,
+                               tmax=jnp.broadcast_to(tmax, (n,))[order])
+        return occ_s[inv]
+
     state = dict(
         o=o,
         d=d,
@@ -98,7 +133,7 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
         active = state["active"]
         L, thr = state["L"], state["thr"]
 
-        si = trace.ray_intersect(scene, o, d)
+        si = _intersect(o, d)
         if tmax0 is not None:
             # Camera far plane applies to the primary segment only; the
             # where(depth == 0, ...) keeps one compiled bounce body.  A
@@ -176,8 +211,8 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
             )
             shadow_o = si.spawn_origin(ds.d)
             sgeom = scene.geometry if shadow_geom is None else shadow_geom
-            occluded = trace.ray_test(
-                sgeom, shadow_o, ds.d, tmin=trace.RAY_EPS, tmax=ds.dist * (1.0 - 1e-3)
+            occluded = _shadow_test(
+                sgeom, shadow_o, ds.d, ds.dist * (1.0 - 1e-3)
             )
             vis = nee_possible & ~occluded
             w_nee = jnp.where(

@@ -147,8 +147,9 @@ class BakedScene:
     # whose triangle count exceeds the unrolled-prim budget carry their
     # triangles as SMEM cluster tables (ops/pallas_mesh layout) swept
     # inside the bounce step instead of round-tripping XLA<->Pallas per
-    # bounce.  dict(bounds (C,32), tris (C,9,128), nrm (C,9,128), bsdf,
-    # n_clusters, key) or None.
+    # bounce.  dict(bounds (C,32), tris (C,9,128), trisw (C,12,128)
+    # Baldwin-Weber table — the one the kernel sweeps, r5 — nrm (C,9,128),
+    # bsdf, n_clusters, key) or None.
     mesh: dict = None
 
 
@@ -204,8 +205,16 @@ def _bake_mesh(scene: Scene):
     )[:, :9]  # vertex normals only; albedo comes from the BSDF table
     tris = np.asarray(clusters["tris"], np.float32)
     bounds = np.asarray(clusters["bounds"], np.float32)
+    from tpu_rt.ops.pallas_mesh import _bw_table
+
+    # Baldwin-Weber precomputed-transform table (r5): ~25 VPU ops/tri in
+    # the bounce sweep vs ~45 for Moller-Trumbore, and rows 0-2 carry the
+    # geometric normal directly (no in-kernel cross product).  Same table
+    # the standalone intersect kernel defaults to (_TRI_MODE="bw").
+    trisw = _bw_table(tris)
     return dict(
-        bounds=bounds, tris=tris, nrm=np.ascontiguousarray(shade),
+        bounds=bounds, tris=tris, trisw=trisw,
+        nrm=np.ascontiguousarray(shade),
         bsdf=int(b_ids.pop()), n_clusters=int(tris.shape[0]),
         tri_mask=mask,
         key=hash((tris.tobytes(), bounds.tobytes())),
@@ -621,40 +630,34 @@ def _mesh_quarter_span(bounds_ref, o, invd, best_t, c, tmin):
     return l0 | l1 | l2 | l3, s_tri, e_tri
 
 
-def _mesh_mt_one(tri_ref, o, d, ci, k, tmin, bt):
-    """One scalar-splat Moller-Trumbore test against cluster ci lane k;
-    returns (ok, t, u, v, edges).  tri_ref is the FLATTENED (C*9, 128)
-    SMEM table (_mesh_args: 3D operands pad each (9,128) slice to (16,128)
-    tiles, +78% SMEM)."""
-    tb = ci * 9
-    p0x = tri_ref[tb + 0, k]
-    p0y = tri_ref[tb + 1, k]
-    p0z = tri_ref[tb + 2, k]
-    e1x = tri_ref[tb + 3, k]
-    e1y = tri_ref[tb + 4, k]
-    e1z = tri_ref[tb + 5, k]
-    e2x = tri_ref[tb + 6, k]
-    e2y = tri_ref[tb + 7, k]
-    e2z = tri_ref[tb + 8, k]
-    pvx = d[1] * e2z - d[2] * e2y
-    pvy = d[2] * e2x - d[0] * e2z
-    pvz = d[0] * e2y - d[1] * e2x
-    det = e1x * pvx + e1y * pvy + e1z * pvz
-    det_safe = jnp.where(jnp.abs(det) < 1e-12,
-                         jnp.where(det < 0, -1e-12, 1e-12), det)
-    invdet = 1.0 / det_safe
-    tvx = o[0] - p0x
-    tvy = o[1] - p0y
-    tvz = o[2] - p0z
-    u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-    qvx = tvy * e1z - tvz * e1y
-    qvy = tvz * e1x - tvx * e1z
-    qvz = tvx * e1y - tvy * e1x
-    v = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * invdet
-    t = (e2x * qvx + e2y * qvy + e2z * qvz) * invdet
+def _mesh_bw_one(tri_ref, o, d, ci, k, tmin, bt):
+    """One scalar-splat Baldwin-Weber (precomputed-transform) test against
+    cluster ci lane k; returns (ok, t, u, v, n_geo) with n_geo the
+    UNNORMALIZED geometric normal straight from table rows 0-2.  tri_ref
+    is the FLATTENED (C*12, 128) SMEM table (pallas_mesh._bw_table layout:
+    rows 0-2 n = e1 x e2, 3-5 p0, 6-8 r1, 9-11 r2); ~25 VPU ops/tri vs
+    ~45 for the r4 Moller-Trumbore form, no in-kernel cross products."""
+    tb = ci * 12
+    nx = tri_ref[tb + 0, k]
+    ny = tri_ref[tb + 1, k]
+    nz = tri_ref[tb + 2, k]
+    tvx = o[0] - tri_ref[tb + 3, k]
+    tvy = o[1] - tri_ref[tb + 4, k]
+    tvz = o[2] - tri_ref[tb + 5, k]
+    den = nx * d[0] + ny * d[1] + nz * d[2]
+    den_safe = jnp.where(jnp.abs(den) < 1e-12,
+                         jnp.where(den < 0, -1e-12, 1e-12), den)
+    t = -(nx * tvx + ny * tvy + nz * tvz) / den_safe
+    qx = tvx + t * d[0]
+    qy = tvy + t * d[1]
+    qz = tvz + t * d[2]
+    u = (tri_ref[tb + 6, k] * qx + tri_ref[tb + 7, k] * qy
+         + tri_ref[tb + 8, k] * qz)
+    v = (tri_ref[tb + 9, k] * qx + tri_ref[tb + 10, k] * qy
+         + tri_ref[tb + 11, k] * qz)
     ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t > tmin) & (t < bt))
-    return ok, t, u, v, (e1x, e1y, e1z, e2x, e2y, e2z)
+    return ok, t, u, v, (nx, ny, nz)
 
 
 def _mesh_closest(mesh_refs, n_clusters, o, d, tmin, t0, prim0, n0,
@@ -681,7 +684,7 @@ def _mesh_closest(mesh_refs, n_clusters, o, d, tmin, t0, prim0, n0,
             def process(best):
                 def tri_body(k, best):
                     bt = best[0]
-                    ok, t, u, v, (e1x, e1y, e1z, e2x, e2y, e2z) = _mesh_mt_one(
+                    ok, t, u, v, (gx, gy, gz) = _mesh_bw_one(
                         tri_ref, o, d, c, k, tmin, bt)
                     w0 = 1.0 - u - v
                     nb = c * 9  # nrm_ref flattened (C*9, 128), see _mesh_args
@@ -691,9 +694,6 @@ def _mesh_closest(mesh_refs, n_clusters, o, d, tmin, t0, prim0, n0,
                            + v * nrm_ref[nb + 7, k])
                     nsz = (w0 * nrm_ref[nb + 2, k] + u * nrm_ref[nb + 5, k]
                            + v * nrm_ref[nb + 8, k])
-                    gx = e1y * e2z - e1z * e2y
-                    gy = e1z * e2x - e1x * e2z
-                    gz = e1x * e2y - e1y * e2x
                     return (
                         jnp.where(ok, t, bt),
                         jnp.where(ok, mesh_prim_id, best[1]),
@@ -756,7 +756,7 @@ def _mesh_anyhit(mesh_refs, n_clusters, o, d, tmin, tmax):
 
             def process(occf):
                 def tri_body(k, occf):
-                    ok, _t, _u, _v, _e = _mesh_mt_one(
+                    ok, _t, _u, _v, _n = _mesh_bw_one(
                         tri_ref, o, d, c, k, tmin, tmax)
                     return jnp.maximum(occf, jnp.where(ok, 1.0, 0.0))
 
@@ -1983,10 +1983,12 @@ def _mesh_args(bs):
     mesh-less scenes)."""
     if bs.mesh is None:
         return ()
-    # tris/nrm flattened to (C*9, 128): Mosaic stores each 2D slice of a 3D
-    # SMEM operand in (8,128) tiles, padding 9 rows to 16 (+78% SMEM).
+    # trisw/nrm flattened to (C*12, 128)/(C*9, 128): Mosaic stores each 2D
+    # slice of a 3D SMEM operand in (8,128) tiles, padding rows to
+    # multiples of 16 (+SMEM); flat 2D is exact-size.  trisw is the
+    # Baldwin-Weber 12-row table (see _bake_mesh).
     return (jnp.asarray(bs.mesh["bounds"]),
-            jnp.asarray(bs.mesh["tris"]).reshape(-1, 128),
+            jnp.asarray(bs.mesh["trisw"]).reshape(-1, 128),
             jnp.asarray(bs.mesh["nrm"]).reshape(-1, 128))
 
 
