@@ -8,6 +8,11 @@ cell, direction octant) around each intersect call (integrator/path.py
 _intersect/_shadow_test).  This tool times the FULL bunny GI render both
 ways on the real TPU.
 
+MEASURED (r5, v5e): nosort 961 ms [951..961], sort 1076 ms [1070..1085]
+at 256^2 spp16 d3, mean radiance IDENTICAL (1.38068) — the sort is a
+measured dead end (argsort + gathers cost more than the cull savings);
+default is now OFF (TPU_RT_GI_SORT=1 re-enables).
+
 Usage: python tools/bench_gi_sort.py [sort|nosort|both]
 Env: GI_RES (256), GI_SPP (16), GI_DEPTH (3), GI_REPS (3).
 """

@@ -472,6 +472,9 @@ def gi_sort_order(geom: Geometry, o, d):
     to a compact beam again.  Per-ray results are order-independent, so
     sort -> intersect -> unsort is exact (no estimator change).
 
+    MEASURED DEAD END on v5e (r5): bunny GI 12% slower sorted — see
+    integrator/path.py gi_sort note; kept behind TPU_RT_GI_SORT=1.
+
     Returns (order, inv_order); apply as x[order] in, y[inv_order] out.
     """
     # Mesh AABB over LIVE clusters only (pad clusters carry far-point

@@ -80,24 +80,19 @@ def path_trace(scene: Scene, o, d, key, max_depth=None, rr_depth=None,
         n_iters = max(depth_cap - 1, 1)
     rr_start = scene.rr_depth if rr_depth is None else rr_depth
 
-    # Divergent-ray coherence sort (trace.gi_sort_order): on clustered-mesh
-    # scenes, bounce/shadow rays are stably re-ordered by (origin cell,
-    # direction octant) around each intersect call so the mesh kernel's
-    # per-block culls see compact beams instead of full-sphere scatter.
-    # Exact (per-ray results, sort->unsort) — gated to MULTI-segment meshes
-    # (bunny-class), where block corridors dominate; single-segment meshes
-    # (teapot) measured sweep-iteration-bound, not corridor-bound.
+    # Divergent-ray coherence sort (trace.gi_sort_order): stably re-order
+    # bounce/shadow rays by (origin cell, direction octant) around each
+    # intersect call.  Exact (per-ray results, sort->unsort).  MEASURED
+    # DEAD END on v5e (r5, tools/bench_gi_sort.py): bunny GI 256^2 spp16
+    # d3 sorted 1076 ms vs unsorted 961 ms — the argsort + 2 gathers cost
+    # more than the per-block cull savings (hit-point origins of a screen
+    # tile are already spatially coherent; octant grouping alone doesn't
+    # shrink the corridor enough).  OFF by default; TPU_RT_GI_SORT=1
+    # re-enables for future re-testing.
     import os as _os
 
-    _sort_env = _os.environ.get("TPU_RT_GI_SORT", "auto")
-    if _sort_env == "0" or scene.geometry.cl_tris is None:
-        gi_sort = False
-    elif _sort_env == "auto":
-        from tpu_rt.ops.pallas_mesh import SEGMENT_C
-
-        gi_sort = scene.geometry.cl_bounds.shape[0] > SEGMENT_C
-    else:
-        gi_sort = True
+    gi_sort = (_os.environ.get("TPU_RT_GI_SORT", "0") == "1"
+               and scene.geometry.cl_tris is not None)
 
     def _intersect(o, d):
         if not gi_sort:
