@@ -46,6 +46,7 @@ QUICK_TESTS = {
     "test_pallas_kernel.py::test_render_pallas_interpret_smoke",
     "test_pallas_kernel.py::test_pallas_direct_visibility_exact",
     "test_pallas_mesh.py::test_clusters_built_for_mesh_scene",
+    "test_pallas_mesh.py::test_fused_segmented_sweep_matches_per_segment_calls",
     "test_stokes.py::test_malus_law_mueller",
     "test_stokes.py::test_fresnel_mueller_brewster_fully_polarized",
     "test_parallel_and_grad.py::test_sharded_render_matches_single_chip",

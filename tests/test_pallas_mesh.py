@@ -344,3 +344,44 @@ def test_gi_sort_render_exact(teapot_scene, monkeypatch):
     assert int(n0) == int(n1)
     np.testing.assert_allclose(np.asarray(L0), np.asarray(L1),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_fused_segmented_sweep_matches_per_segment_calls(monkeypatch):
+    """The fused one-call segmented kernel (_mesh_sweep_fused: (segments,
+    ray-blocks) grid, SMEM-streamed tables, VMEM best scratch) is EXACTLY
+    equal to the chained per-segment pallas-call form: its unchained host
+    live lists are supersets whose extra clusters all fail the in-kernel
+    best_t slab gates (verified bit-identical on v5e hardware too, r5).
+    Tiny segment sizes force multiple segments out of a small soup."""
+    rng = np.random.default_rng(5)
+    T = 600
+    p0 = rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.2, (T, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.2, (T, 3)).astype(np.float32)
+
+    from tpu_rt.geometry.bvh import build_bvh
+
+    v = np.stack([p0, p0 + e1, p0 + e2], 1)
+    bvh = build_bvh(v.min(1), v.max(1))
+    clusters = pallas_mesh.build_clusters(p0, e1, e2, bvh=bvh)
+    assert clusters["bounds"].shape[0] > 8  # enough clusters to segment
+
+    N = 4096  # two (16, 128) ray blocks
+    o = rng.uniform(-2, 2, (N, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = rng.uniform(0.5, 4.0, (N,)).astype(np.float32)
+
+    monkeypatch.setattr(pallas_mesh, "SEGMENT_C", 4)
+    monkeypatch.setattr(pallas_mesh, "FUSED_C", 4)
+
+    monkeypatch.setattr(pallas_mesh, "_FUSED_MODE", "0")
+    ref = [np.asarray(x) for x in pallas_mesh.mesh_intersect(
+        clusters, jnp.asarray(o), jnp.asarray(d), tmax=jnp.asarray(tmax))]
+    monkeypatch.setattr(pallas_mesh, "_FUSED_MODE", "1")
+    got = [np.asarray(x) for x in pallas_mesh.mesh_intersect(
+        clusters, jnp.asarray(o), jnp.asarray(d), tmax=jnp.asarray(tmax))]
+
+    assert (ref[1] >= 0).sum() > 100
+    for a, b, nm in zip(ref, got, ("t", "prim", "u", "v")):
+        np.testing.assert_array_equal(a, b, err_msg=nm)

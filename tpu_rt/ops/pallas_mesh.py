@@ -62,6 +62,24 @@ CLUSTER = 128          # triangles per cluster (lane dim)
 # 64 (fewer per-segment launches + host culls; teapot single-segment
 # either way, r5 A/B on v5e).
 SEGMENT_C = int(os.environ.get("TPU_RT_MESH_SEGMENT_C", "128"))
+# Fused segmented sweep (multi-segment meshes): ONE pallas_call over a
+# (segments, ray-blocks) grid with the tables streamed as blocked SMEM
+# inputs and the running best in VMEM scratch — the per-segment python
+# loop serialized an ~110 us SMEM table load per segment (29% of the
+# bunny wave, tools/diag_mesh_floor.py).  Segment size drops to 64
+# clusters so two table buffers double-buffer inside the 1 MiB SMEM
+# (2 x 384 KiB BW tables + ids/bounds blocks).  "auto" = on for
+# multi-segment meshes; TPU_RT_MESH_FUSED=0/1 forces.
+_FUSED_MODE = os.environ.get("TPU_RT_MESH_FUSED", "auto")
+FUSED_C = int(os.environ.get("TPU_RT_MESH_FUSED_C", "64"))
+
+
+def _fused_on(n_clusters: int) -> bool:
+    if _FUSED_MODE == "1":
+        return True
+    if _FUSED_MODE == "0":
+        return False
+    return n_clusters > SEGMENT_C
 # The fused DIRECT kernel carries tris (9 rows) + shade (12 rows) + the
 # shadow live-lists together, so its single-segment scope keeps the
 # tighter 64-cluster cap (9216 B/cluster -> 128 would OOM the 1 MiB).
@@ -381,6 +399,49 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                  tmin, root_cull, tri_rows):
     o = (ox[sl], oy[sl], oz[sl])
     d = (dx[sl], dy[sl], dz[sl])
+    zeros = jnp.zeros(o[0].shape, jnp.float32)
+    best = (tmax_ref[sl], jnp.full(o[0].shape, -1, jnp.int32), zeros, zeros)
+    best = _sweep_live(ids_ref, nlive_ref, bounds_ref, tri_ref, o, d, best,
+                       list_i, tmin=tmin, root_cull=root_cull,
+                       tri_rows=tri_rows)
+    t_out[sl] = best[0]
+    lid_out[sl] = best[1]
+    u_out[sl] = best[2]
+    v_out[sl] = best[3]
+
+
+def _sweep_live(ids_ref, nlive_ref, bounds_ref, tri_ref, o, d, best, list_i,
+                *, tmin, root_cull, tri_rows, cid_off=0, packed_c=0):
+    """Sweep one ray (sub-)tile against its live-cluster list; returns the
+    updated (t, lid, u, v) best tuple.  ``cid_off`` offsets the reported
+    local id by a cluster count (the fused segmented kernel passes the
+    traced segment base so lids come out table-global).
+
+    ``packed_c`` (the fused kernel's segment size, 0 = direct 2D layout):
+    blocked SMEM operands pad their lane dimension to 128, so the fused
+    path flattens ids/nlive/bounds to exact-size (rows, 128) tables and
+    indexes them through flat div/mod accessors (powers of two -> shifts).
+    """
+    if packed_c:
+        def get_id(j):
+            f = list_i * packed_c + j
+            return ids_ref[f // 128, f % 128]
+
+        def get_n():
+            return nlive_ref[list_i // 128, list_i % 128]
+
+        def bget(c, col):
+            f = c * 32 + col
+            return bounds_ref[f // 128, f % 128]
+    else:
+        def get_id(j):
+            return ids_ref[list_i, j]
+
+        def get_n():
+            return nlive_ref[list_i, 0]
+
+        def bget(c, col):
+            return bounds_ref[c, col]
 
     # Safe reciprocal direction for the slab test (sign-preserving clamp).
     def inv(x):
@@ -388,9 +449,6 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                                jnp.where(x < 0, -1e-12, 1e-12), x)
 
     invd = (inv(d[0]), inv(d[1]), inv(d[2]))
-
-    zeros = jnp.zeros(o[0].shape, jnp.float32)
-    best = (tmax_ref[sl], jnp.full(o[0].shape, -1, jnp.int32), zeros, zeros)
 
     def cluster_body(ci, best):
         c = ci
@@ -400,12 +458,12 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
             """Tile-level slab test of the AABB at bounds cols
             [col, col+6) against all rays, bounded by each lane's
             current best_t; returns a scalar 'any lane can hit'."""
-            t0x = (bounds_ref[c, col + 0] - o[0]) * invd[0]
-            t1x = (bounds_ref[c, col + 3] - o[0]) * invd[0]
-            t0y = (bounds_ref[c, col + 1] - o[1]) * invd[1]
-            t1y = (bounds_ref[c, col + 4] - o[1]) * invd[1]
-            t0z = (bounds_ref[c, col + 2] - o[2]) * invd[2]
-            t1z = (bounds_ref[c, col + 5] - o[2]) * invd[2]
+            t0x = (bget(c, col + 0) - o[0]) * invd[0]
+            t1x = (bget(c, col + 3) - o[0]) * invd[0]
+            t0y = (bget(c, col + 1) - o[1]) * invd[1]
+            t1y = (bget(c, col + 4) - o[1]) * invd[1]
+            t0z = (bget(c, col + 2) - o[2]) * invd[2]
+            t1z = (bget(c, col + 5) - o[2]) * invd[2]
             tn = jnp.maximum(
                 jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                 jnp.maximum(jnp.minimum(t0z, t1z), tmin),
@@ -464,7 +522,7 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                         (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                         & (t > tmin) & (t < bt)
                     )
-                    return ok, t, u, v, c * CLUSTER + k
+                    return ok, t, u, v, (cid_off + c) * CLUSTER + k
 
                 def intersect_one_mt(k, bt):
                     """One scalar-splat Moller-Trumbore test; returns
@@ -502,7 +560,7 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                         (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                         & (t > tmin) & (t < bt)
                     )
-                    return ok, t, u, v, c * CLUSTER + k
+                    return ok, t, u, v, (cid_off + c) * CLUSTER + k
 
                 # static row count picks the formula: 12 rows = BW, 9 = MT
                 intersect_one = (intersect_one_bw if tri_rows == 12
@@ -546,7 +604,7 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
                 # Sweep only the contiguous live-quarter span of the live
                 # lanes (quarter boundaries q_i = i*k//4 derive from the
                 # count; pads at the tail can never hit — degenerate, t=0).
-                k = bounds_ref[c, 6].astype(jnp.int32)
+                k = bget(c, 6).astype(jnp.int32)
                 q1 = k // 4
                 q2 = k // 2
                 q3 = (3 * k) // 4
@@ -575,13 +633,59 @@ def _kernel_half(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx, dy,
     # dead clusters cost NOTHING in-kernel (r3 measurement: bunny spent
     # 2.94 of 7.99 ms/wave on in-kernel cull alone).
     def live_body(j, best):
-        return cluster_body(ids_ref[list_i, j], best)
+        return cluster_body(get_id(j), best)
 
-    best = jax.lax.fori_loop(0, nlive_ref[list_i, 0], live_body, best)
-    t_out[sl] = best[0]
-    lid_out[sl] = best[1]
-    u_out[sl] = best[2]
-    v_out[sl] = best[3]
+    return jax.lax.fori_loop(0, get_n(), live_body, best)
+
+
+def _kernel_fused(ids_ref, nlive_ref, bounds_ref, tri_ref, ox, oy, oz, dx,
+                  dy, dz, tmax_ref, t_out, lid_out, u_out, v_out,
+                  ts, ls, us, vs, *, tmin, root_cull, halves, tri_rows,
+                  tm, seg_c):
+    """Fused segmented sweep: ONE pallas_call over a (segments, ray-blocks)
+    grid.  The per-segment cluster tables arrive as blocked SMEM inputs the
+    pipeline streams HBM->SMEM (segment-outer order: one table DMA per
+    segment, overlapped with the previous segment's ray blocks), and the
+    running best hit lives in VMEM scratch across grid steps — replacing
+    the per-segment python loop of pallas calls whose serial SMEM table
+    loads were 29% of the bunny wave (tools/diag_mesh_floor.py: 0.80 of
+    2.73 ms; r5).  Results are bit-identical to the chained form: each
+    segment's host live list here is a superset (no tmax chaining), and
+    the extra clusters all fail the same in-kernel best_t slab gates."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    row0 = b * tm
+
+    @pl.when(s == 0)
+    def _init():
+        ts[pl.ds(row0, tm)] = tmax_ref[:]
+        ls[pl.ds(row0, tm)] = jnp.full((tm, 128), -1, jnp.int32)
+        us[pl.ds(row0, tm)] = jnp.zeros((tm, 128), jnp.float32)
+        vs[pl.ds(row0, tm)] = jnp.zeros((tm, 128), jnp.float32)
+
+    hr = tm // halves
+    cid_off = s * seg_c
+    for h in range(halves):
+        sl = slice(h * hr, (h + 1) * hr)
+        ssl = pl.ds(row0 + h * hr, hr)
+        o = (ox[sl], oy[sl], oz[sl])
+        d = (dx[sl], dy[sl], dz[sl])
+        best = (ts[ssl], ls[ssl], us[ssl], vs[ssl])
+        best = _sweep_live(ids_ref, nlive_ref, bounds_ref, tri_ref, o, d,
+                           best, b * halves + h, tmin=tmin,
+                           root_cull=root_cull, tri_rows=tri_rows,
+                           cid_off=cid_off, packed_c=seg_c)
+        ts[ssl] = best[0]
+        ls[ssl] = best[1]
+        us[ssl] = best[2]
+        vs[ssl] = best[3]
+        # Out blocks are revisited once per segment (write-only, full
+        # overwrite): earlier segments' write-backs are dead stores the
+        # final segment's values overwrite in grid order.
+        t_out[sl] = best[0]
+        lid_out[sl] = best[1]
+        u_out[sl] = best[2]
+        v_out[sl] = best[3]
 
 
 def _block_live_clusters(bounds, comps, grid, tm, tmin, halves=1):
@@ -804,17 +908,124 @@ def _mesh_sweep(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
     return t.reshape(-1), lid.reshape(-1), u.reshape(-1), v.reshape(-1)
 
 
+def _mesh_sweep_fused(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
+                      halves=1):
+    """All segments in ONE pallas_call (see _kernel_fused).
+
+    o, d: [N, 3] with N % (tm*128) == 0; tmax [N] is the incoming best-t.
+    Returns (t, lid, u, v) flat [N] with lid table-global.
+    """
+    n = o.shape[0]
+    rows = n // 128
+    grid = rows // tm
+    C = tris.shape[0]
+    tri_rows = tris.shape[1]
+    seg_c = FUSED_C
+    S = -(-C // seg_c)
+    Cp = S * seg_c
+    if Cp > C:
+        # Pad clusters: zero tris (degenerate, t=0 fails t>tmin), far-point
+        # AABBs (an inverted box would PASS the slab test), zero counts.
+        pad = Cp - C
+        tris = jnp.concatenate(
+            [tris, jnp.zeros((pad,) + tris.shape[1:], tris.dtype)], 0)
+        pb = jnp.full((pad, bounds.shape[1]), 1e30, jnp.float32)
+        pb = pb.at[:, 6:8].set(0.0)
+        bounds = jnp.concatenate([bounds, pb], 0)
+
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             jnp.broadcast_to(tmax, (n,))]
+    comps = [c.reshape(rows, 128) for c in comps]
+
+    # Per-segment host cull with the UNCHAINED tmax (superset of the
+    # per-segment-call lists; extras die at the in-kernel best_t gates).
+    # Blocked SMEM operands pad lanes to 128, so each per-segment table is
+    # flattened row-major into exact-size (rows, 128) blocks and indexed
+    # through _sweep_live's packed accessors.
+    def pack128(x):
+        # (rows, 128) with rows a multiple of 8 (Mosaic block constraint).
+        flat = x.reshape(-1)
+        p = (-flat.shape[0]) % (8 * 128)
+        if p:
+            flat = jnp.concatenate([flat, jnp.zeros((p,), flat.dtype)], 0)
+        return flat.reshape(-1, 128)
+
+    ids_l, nlive_l, bounds_l = [], [], []
+    for s0 in range(0, Cp, seg_c):
+        ids_s, nlive_s = _block_live_clusters(
+            bounds[s0:s0 + seg_c], comps, grid, tm, tmin, halves=halves)
+        ids_l.append(pack128(ids_s))
+        nlive_l.append(pack128(nlive_s))
+        bounds_l.append(pack128(bounds[s0:s0 + seg_c]))
+    r_ids = ids_l[0].shape[0]
+    r_n = nlive_l[0].shape[0]
+    assert bounds.shape[1] == 32, "packed bget assumes 32-col bounds rows"
+    r_b = bounds_l[0].shape[0]
+    ids = jnp.concatenate(ids_l, 0)
+    nlive = jnp.concatenate(nlive_l, 0)
+    bounds_f = jnp.concatenate(bounds_l, 0)
+
+    tris_f = tris.reshape(Cp * tri_rows, 128)
+
+    ray_block = pl.BlockSpec((tm, 128), lambda s, b: (b, 0),
+                             memory_space=pltpu.VMEM)
+    seg_smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s, b: (s, 0), memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(S, grid),
+        in_specs=[
+            seg_smem((r_ids, 128)),             # live ids (packed)
+            seg_smem((r_n, 128)),               # live counts (packed)
+            seg_smem((r_b, 128)),               # cluster AABBs (packed)
+            seg_smem((seg_c * tri_rows, 128)),  # triangle table
+        ] + [ray_block] * 7,
+        out_specs=[ray_block] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.int32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+    ]
+    # Root-box gate ON: without tmax chaining the host lists are supersets,
+    # and the extra (best_t-dead) clusters die at ONE slab test instead of
+    # four quarter tests.
+    kern = functools.partial(_kernel_fused, tmin=tmin, root_cull=True,
+                             halves=halves, tri_rows=tri_rows, tm=tm,
+                             seg_c=seg_c)
+    t, lid, u, v = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ids, nlive, bounds_f, tris_f, *comps)
+    return t.reshape(-1), lid.reshape(-1), u.reshape(-1), v.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Public entry: padding, remap, detached-gradient wrapper
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _mesh_intersect_core(tm, tmin, interpret, bounds, tris, o, d, tmax):
-    """Segmented sweep: each SEGMENT_C-cluster slice gets its own kernel
-    call (tables SMEM-resident per call); segments chain through tmax and
-    merge with elementwise selects."""
+    """Segmented sweep.  Multi-segment meshes default to the FUSED form
+    (one pallas_call, segment-outer grid, SMEM-streamed tables — see
+    _kernel_fused); otherwise each SEGMENT_C-cluster slice gets its own
+    kernel call (tables SMEM-resident per call), segments chain through
+    tmax and merge with elementwise selects."""
     C = tris.shape[0]
     n_segments = -(-C // SEGMENT_C)
+    if n_segments > 1 and _fused_on(C):
+        halves = _halves_for(tm, -(-C // FUSED_C))
+        return _mesh_sweep_fused(bounds, tris, o, d, tmax, tm=tm, tmin=tmin,
+                                 interpret=interpret, halves=halves)
     root_cull = _root_cull_on(n_segments)
     halves = _halves_for(tm, n_segments)
     best = None
