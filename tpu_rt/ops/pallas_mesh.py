@@ -64,22 +64,22 @@ CLUSTER = 128          # triangles per cluster (lane dim)
 SEGMENT_C = int(os.environ.get("TPU_RT_MESH_SEGMENT_C", "128"))
 # Fused segmented sweep (multi-segment meshes): ONE pallas_call over a
 # (segments, ray-blocks) grid with the tables streamed as blocked SMEM
-# inputs and the running best in VMEM scratch — the per-segment python
-# loop serialized an ~110 us SMEM table load per segment (29% of the
-# bunny wave, tools/diag_mesh_floor.py).  Segment size drops to 64
-# clusters so two table buffers double-buffer inside the 1 MiB SMEM
-# (2 x 384 KiB BW tables + ids/bounds blocks).  "auto" = on for
-# multi-segment meshes; TPU_RT_MESH_FUSED=0/1 forces.
+# inputs and the running best in VMEM scratch — built to remove the
+# serial per-segment SMEM table loads (the "empty" floor drops 0.80 ->
+# 0.28 ms on bunny, tools/diag_mesh_floor.py).  Measured r5 (v5e,
+# interleaved same-process A/B, tools-era ab_fused): bunny full wave
+# fused 3.4-3.7 ms vs chained 2.9-3.2 ms — the floor win is offset by
+# the finer 64-cluster segment granularity (13 vs 7 segment visits per
+# block) and the loss of tmax chaining in the host cull, and the tunnel's
+# ±0.4 ms slope noise swallows the difference.  Default OFF ("auto");
+# TPU_RT_MESH_FUSED=1 forces it on (bit-identical results, see
+# tests/test_pallas_mesh.py::test_fused_segmented_sweep_matches_per_segment_calls).
 _FUSED_MODE = os.environ.get("TPU_RT_MESH_FUSED", "auto")
 FUSED_C = int(os.environ.get("TPU_RT_MESH_FUSED_C", "64"))
 
 
 def _fused_on(n_clusters: int) -> bool:
-    if _FUSED_MODE == "1":
-        return True
-    if _FUSED_MODE == "0":
-        return False
-    return n_clusters > SEGMENT_C
+    return _FUSED_MODE == "1"
 # The fused DIRECT kernel carries tris (9 rows) + shade (12 rows) + the
 # shadow live-lists together, so its single-segment scope keeps the
 # tighter 64-cluster cap (9216 B/cluster -> 128 would OOM the 1 MiB).
@@ -994,10 +994,13 @@ def _mesh_sweep_fused(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
         jax.ShapeDtypeStruct((rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows, 128), jnp.float32),
     ]
-    # Root-box gate ON: without tmax chaining the host lists are supersets,
-    # and the extra (best_t-dead) clusters die at ONE slab test instead of
-    # four quarter tests.
-    kern = functools.partial(_kernel_fused, tmin=tmin, root_cull=True,
+    # Root-box gate off, as in the chained multi-segment form: interleaved
+    # A/B on v5e measured the extra root cond ~0.4 ms SLOWER on bunny
+    # (same direction as the old-path root-cull measurement; the unchained
+    # host lists' extra clusters are too few to pay for it — 1242 vs 871
+    # live entries, tools-era livecount r5).
+    kern = functools.partial(_kernel_fused, tmin=tmin,
+                             root_cull=_ROOT_CULL_MODE == "1",
                              halves=halves, tri_rows=tri_rows, tm=tm,
                              seg_c=seg_c)
     t, lid, u, v = pl.pallas_call(
