@@ -67,7 +67,7 @@ SEGMENT_C = int(os.environ.get("TPU_RT_MESH_SEGMENT_C", "128"))
 # inputs and the running best in VMEM scratch — built to remove the
 # serial per-segment SMEM table loads (the "empty" floor drops 0.80 ->
 # 0.28 ms on bunny, tools/diag_mesh_floor.py).  Measured r5 (v5e,
-# interleaved same-process A/B, tools-era ab_fused): bunny full wave
+# interleaved same-process A/B, tools/ab_mesh.py): bunny full wave
 # fused 3.4-3.7 ms vs chained 2.9-3.2 ms — the floor win is offset by
 # the finer 64-cluster segment granularity (13 vs 7 segment visits per
 # block) and the loss of tmax chaining in the host cull, and the tunnel's
@@ -998,7 +998,7 @@ def _mesh_sweep_fused(bounds, tris, o, d, tmax, *, tm, tmin, interpret,
     # A/B on v5e measured the extra root cond ~0.4 ms SLOWER on bunny
     # (same direction as the old-path root-cull measurement; the unchained
     # host lists' extra clusters are too few to pay for it — 1242 vs 871
-    # live entries, tools-era livecount r5).
+    # live entries, host-side live-list count r5).
     kern = functools.partial(_kernel_fused, tmin=tmin,
                              root_cull=_ROOT_CULL_MODE == "1",
                              halves=halves, tri_rows=tri_rows, tm=tm,
